@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    — flagship: exact+near-duplicate clustering of the synthetic
+                  image+caption table at the sf0.001 scale.
+queries()       — every implemented operator from SURVEY.md §2: relational
+                  operators over the driver's TPC-H-ish parquet tables (each
+                  with a DuckDB oracle), plus the image-pipeline queries on
+                  the deterministic synthetic fixture (rows-only checks —
+                  pandas-UDF pixel decode and iterative connected components
+                  are not SQL-expressible).
+oracle_sql()    — DuckDB-runnable ANSI SQL per relational query; column names
+                  alias-matched to the Spark side.
 """
 
 from __future__ import annotations
@@ -13,26 +18,21 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from dupion_spark import image_queries as IQ
+from dupion_spark import queries as Q
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return IQ.q_img_clusters(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    merged.update(Q.queries())
+    merged.update(IQ.image_queries())
+    return merged
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return Q.oracle_sql()

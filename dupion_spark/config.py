@@ -1,0 +1,95 @@
+"""Engine configuration.
+
+One frozen dataclass carries every knob the pipeline needs, so "identical
+shingle/signature/band config" (BASELINE.json north_rule) is a single object
+shared between the Spark pipeline, the single-process oracle, and the synth
+generator. The defaults below ARE the reference config the recall gate runs at.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+# 2^31 - 1 (Mersenne prime). All LCG-style hash mixing is mod this prime so the
+# arithmetic stays exactly representable in both Spark SQL and DuckDB BIGINTs
+# (needed for the driver's SQL-oracle parity checks).
+MERSENNE_31 = 2_147_483_647
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- caption MinHash ----------------------------------------------------
+    shingle_k: int = 5            # character shingle width over captions
+    minhash_k: int = 64           # number of hash functions / signature length
+    minhash_bands: int = 16       # LSH bands over the signature
+    minhash_rows: int = 4         # rows per band (bands*rows == minhash_k)
+    minhash_seed: int = 0x5EED_0001
+
+    # --- pixel SimHash / pHash ----------------------------------------------
+    simhash_grid: int = 16        # SimHash features = grid x grid block means
+    simhash_bands: int = 4        # bands over the 64-bit simhash
+    phash_bands: int = 4          # bands over the 64-bit phash
+    # multiprobe LSH: besides each exact band value, emit every value within
+    # `probe_bits` bit-flips. Symmetric 1-bit probing makes two band values
+    # collide iff they differ in <=2 bits; with 4 bands, pigeonhole then
+    # guarantees a collision for total hamming distance <= 11 — while keeping
+    # 16-bit band values (65536x more selective than 8-bit bands would be at
+    # the same guarantee). Costs 17x band rows for the pixel signatures.
+    probe_bits: int = 1
+    phash_dct_size: int = 32      # resize target before DCT
+    phash_low_freq: int = 8       # keep top-left 8x8 DCT coefficients
+
+    # --- verification -------------------------------------------------------
+    psnr_threshold_db: float = 40.0   # lossy-format pixel allclose gate
+    lcs_min_len: int = 12             # suffix-array LCS length reported/gated
+    require_caption_lcs: bool = False # if True, edges need LCS >= lcs_min_len too
+
+    # --- skew / scale guards ------------------------------------------------
+    max_band_bucket: int = 64     # buckets larger than this use chain-linking
+                                  # (consecutive pairs) instead of all-pairs;
+                                  # preserves CC connectivity at linear cost
+    salt_buckets: int = 16        # salted repartition fan-out for hot band keys
+
+    # --- connected components ------------------------------------------------
+    cc_max_iterations: int = 25
+    cc_checkpoint_every: int = 3  # cut lineage every N iterations
+
+    # --- election (senpai) ordering, dupion/src/dedup/mod.rs:60-79 -----------
+    # argmin by (n_extents ASC, phys_occurrences DESC, ctime ASC, |phys-avg| ASC)
+    # grafted to: (byte_len ASC, exact_group_size DESC, image_id ASC)
+    # (smallest stored representative, preferring the most-replicated encoding)
+
+    # --- misc ----------------------------------------------------------------
+    seed: int = 42
+    channels: int = 3             # decoded pixel channels (RGB)
+
+    def __post_init__(self) -> None:
+        if self.minhash_bands * self.minhash_rows != self.minhash_k:
+            raise ValueError("minhash_bands * minhash_rows must equal minhash_k")
+
+    def config_hash(self) -> str:
+        """Stable fingerprint of the config — stamped into checkpoint manifests
+        so a resumed run refuses to reuse stages built under a different config."""
+        payload = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]
+
+    def minhash_params(self) -> list[tuple[int, int]]:
+        """(a_i, b_i) pairs for h_i(x) = (a_i * x + b_i) mod (2^31-1).
+
+        Derived deterministically from minhash_seed via SHA-256 so the Spark
+        pipeline, the DuckDB oracle SQL, and the numpy oracle all use literally
+        the same constants.
+        """
+        params: list[tuple[int, int]] = []
+        for i in range(self.minhash_k):
+            digest = hashlib.sha256(f"minhash:{self.minhash_seed}:{i}".encode()).digest()
+            a = (int.from_bytes(digest[:8], "big") % (MERSENNE_31 - 1)) + 1
+            b = int.from_bytes(digest[8:16], "big") % MERSENNE_31
+            params.append((a, b))
+        return params
+
+
+DEFAULT_CONFIG = DedupConfig()

@@ -1,0 +1,182 @@
+"""Signature functions: pHash, SimHash, caption MinHash.
+
+Pure-numpy implementations shared verbatim between (a) the Spark pandas UDFs,
+(b) the synth fixture generator, and (c) the single-process recall oracle —
+this is how "identical shingle/signature/band config" (BASELINE.json) is kept
+true by construction rather than by convention.
+
+Reference lineage: dupion has a single signature — blake3 of raw bytes
+(dupion/src/driver/platterwalker.rs:268-344). The graft generalizes the
+"cheap key first, expensive compare second" staging (dupion/src/state/mod.rs:95-111)
+with locality-sensitive keys so near-duplicates also collide.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import lru_cache
+
+import numpy as np
+
+from dupion_spark.config import MERSENNE_31, DedupConfig
+
+
+# --------------------------------------------------------------------------
+# shared 60-bit string hash — the cross-engine primitive.
+# Spark:  conv(substr(md5(x), 1, 15), 16, 10)   (JVM-side, codegen'd)
+# DuckDB: CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+# numpy/oracle: this function.
+# --------------------------------------------------------------------------
+def md5_60bit(s: str) -> int:
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def char_shingles(text: str, k: int) -> list[str]:
+    """Distinct character k-shingles; texts shorter than k yield the text itself."""
+    if len(text) < k:
+        return [text]
+    return sorted({text[i : i + k] for i in range(len(text) - k + 1)})
+
+
+def minhash_signature(text: str, cfg: DedupConfig) -> np.ndarray:
+    """MinHash signature (int64[minhash_k]) over character shingles of `text`.
+
+    h_i(shingle) = (a_i * (md5_60bit(shingle) % M31) + b_i) mod M31, minimized
+    over shingles. Arithmetic fits uint64 (a,base < 2^31), matching SQL BIGINT.
+    """
+    shingles = char_shingles(text, cfg.shingle_k)
+    bases = np.array([md5_60bit(s) % MERSENNE_31 for s in shingles], dtype=np.uint64)
+    params = np.array(cfg.minhash_params(), dtype=np.uint64)  # (k, 2)
+    # (k, n_shingles) = a[:,None]*bases[None,:] + b[:,None]  mod M31
+    products = params[:, :1] * bases[None, :] + params[:, 1:2]
+    return (products % np.uint64(MERSENNE_31)).min(axis=1).astype(np.int64)
+
+
+def minhash_bands(signature: np.ndarray, cfg: DedupConfig) -> list[int]:
+    """Collapse each band of `minhash_rows` signature slots into one 60-bit key."""
+    keys = []
+    for band in range(cfg.minhash_bands):
+        chunk = signature[band * cfg.minhash_rows : (band + 1) * cfg.minhash_rows]
+        keys.append(md5_60bit(",".join(str(int(v)) for v in chunk)))
+    return keys
+
+
+# --------------------------------------------------------------------------
+# pixel block features
+# --------------------------------------------------------------------------
+def _gray(pixels: np.ndarray) -> np.ndarray:
+    """HxWxC uint8 -> HxW float64 luma."""
+    if pixels.ndim == 2:
+        return pixels.astype(np.float64)
+    if pixels.shape[2] == 1:
+        return pixels[:, :, 0].astype(np.float64)
+    p = pixels.astype(np.float64)
+    return 0.299 * p[:, :, 0] + 0.587 * p[:, :, 1] + 0.114 * p[:, :, 2]
+
+
+def _resize_mean(gray: np.ndarray, size: int) -> np.ndarray:
+    """Area-mean resize of a 2-D array to size x size (handles any H, W >= 1)."""
+    h, w = gray.shape
+    row_idx = (np.arange(size + 1) * h) // size
+    col_idx = (np.arange(size + 1) * w) // size
+    # cumulative-sum integral image for exact box means
+    integral = np.zeros((h + 1, w + 1), dtype=np.float64)
+    integral[1:, 1:] = gray.cumsum(axis=0).cumsum(axis=1)
+    r0, r1 = row_idx[:-1], np.maximum(row_idx[1:], row_idx[:-1] + 1)
+    c0, c1 = col_idx[:-1], np.maximum(col_idx[1:], col_idx[:-1] + 1)
+    r1 = np.minimum(r1, h)
+    c1 = np.minimum(c1, w)
+    sums = (
+        integral[np.ix_(r1, c1)]
+        - integral[np.ix_(r0, c1)]
+        - integral[np.ix_(r1, c0)]
+        + integral[np.ix_(r0, c0)]
+    )
+    areas = np.outer(r1 - r0, c1 - c0).astype(np.float64)
+    areas[areas == 0] = 1.0
+    return sums / areas
+
+
+@lru_cache(maxsize=8)
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (no scipy in the container)."""
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    mat = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * k / (2.0 * n))
+    mat[0, :] = np.sqrt(1.0 / n)
+    return mat
+
+
+def phash64(pixels: np.ndarray, cfg: DedupConfig) -> int:
+    """64-bit perceptual hash: resize -> 2-D DCT -> top-left low-freq block ->
+    median threshold. Returned as a *signed* int64 (parquet/Spark LongType)."""
+    gray = _resize_mean(_gray(pixels), cfg.phash_dct_size)
+    dct_mat = _dct_matrix(cfg.phash_dct_size)
+    coeffs = dct_mat @ gray @ dct_mat.T
+    low = coeffs[: cfg.phash_low_freq, : cfg.phash_low_freq].flatten()
+    median = np.median(low[1:])  # skip DC term for the threshold
+    bits = np.where(low > median, 1, 0)
+    bits[0] = 0  # DC position fixed so the hash is brightness-invariant
+    value = 0
+    for bit in bits:
+        value = (value << 1) | int(bit)
+    return np.int64(np.uint64(value)).item()  # wrap to signed
+
+
+def simhash64(pixels: np.ndarray, cfg: DedupConfig) -> int:
+    """64-bit SimHash over quantized block-mean features.
+
+    Features are (block_index, mean // 32); each feature's md5-derived 64-bit
+    pattern votes +1/-1 per bit position. The feature count (grid^2 = 256) and
+    the coarse 32-step quantization are chosen together: simhash hamming
+    distance scales with the FRACTION of changed features, so many features +
+    few boundary crossings keeps re-encode noise within the multiprobe LSH
+    catch radius (<= 11 bits at 4 bands, probe_bits=1).
+    """
+    grid = cfg.simhash_grid
+    means = _resize_mean(_gray(pixels), grid)
+    quantized = (means // 32).astype(np.int64).flatten()
+    votes = np.zeros(64, dtype=np.int64)
+    for idx, q in enumerate(quantized):
+        digest = hashlib.md5(f"simhash:{idx}:{int(q)}".encode()).digest()
+        pattern = int.from_bytes(digest[:8], "big")
+        for bit in range(64):
+            votes[bit] += 1 if (pattern >> bit) & 1 else -1
+    value = 0
+    for bit in range(64):
+        if votes[bit] > 0:
+            value |= 1 << bit
+    return np.int64(np.uint64(value)).item()
+
+
+def hash64_bands(value: int, n_bands: int) -> list[int]:
+    """Split a 64-bit (signed) hash into n_bands contiguous bit-slices.
+
+    With d differing bits, pigeonhole guarantees a clean shared band whenever
+    d < n_bands — the LSH recall guarantee for small hamming distances.
+    """
+    unsigned = int(np.uint64(np.int64(value)))
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    return [(unsigned >> (band * width)) & mask for band in range(n_bands)]
+
+
+def hash64_band_probes(value: int, n_bands: int, probe_bits: int) -> list[tuple[int, int]]:
+    """Multiprobe band keys: (band_idx, probe_val) for the exact band value
+    plus every value within `probe_bits` single-bit flips (probe_bits<=1).
+
+    Two values collide on band i iff their band slices differ in at most
+    2*probe_bits bits; with b bands and total hamming d, some band carries
+    <= floor(d/b) diffs, so collisions are guaranteed for d <= b*(2*probe_bits)+b-1."""
+    out = []
+    width = 64 // n_bands
+    for band_idx, band_val in enumerate(hash64_bands(value, n_bands)):
+        out.append((band_idx, band_val))
+        if probe_bits >= 1:
+            for bit in range(width):
+                out.append((band_idx, band_val ^ (1 << bit)))
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(int(np.uint64(np.int64(a))) ^ int(np.uint64(np.int64(b)))).count("1")

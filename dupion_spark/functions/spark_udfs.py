@@ -1,0 +1,145 @@
+"""Vectorized pandas/Arrow UDFs — the ONLY Python that touches row data.
+
+Per input_hint, no per-row Python UDFs anywhere: every function here is a
+`pandas_udf` receiving Arrow column batches. Each one wraps the shared numpy
+implementations in `dupion_spark.functions.{codec,signatures}` so the Spark
+pipeline and the single-process oracle compute bit-identical values.
+
+Reference lineage: dupion's single expensive scalar is streaming blake3 over
+file bytes (dupion/src/driver/platterwalker.rs:268-344). The graft's expensive
+scalars are decode+SHA-256-of-pixels and the signature functions; everything
+cheap (byte length, shape keys, band splitting) stays JVM-side in
+`pyspark.sql.functions`.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dupion_spark.config import DedupConfig
+from dupion_spark.functions import codec, signatures
+
+
+def make_pixel_sha256_udf():
+    """bytes -> sha256 of the canonical decoded pixel buffer (32-byte binary).
+
+    The canonical buffer is the raw HxWxC uint8 array prefixed by its shape, so
+    two encodings decode-equal iff their hashes match (dupion's blake3-of-bytes
+    becomes sha256-of-pixels per input_hint)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def pixel_sha256(data: pd.Series) -> pd.Series:
+        out = []
+        for blob in data:
+            pixels = codec.decode_image(bytes(blob))
+            h, w, c = pixels.shape
+            hasher = hashlib.sha256()
+            hasher.update(f"{h}x{w}x{c}:".encode())
+            hasher.update(pixels.tobytes())
+            out.append(hasher.digest())
+        return pd.Series(out)
+
+    return pixel_sha256
+
+
+def make_minhash_udf(cfg: DedupConfig):
+    """caption -> int64[minhash_k] MinHash signature over char shingles."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def minhash(captions: pd.Series) -> pd.Series:
+        return pd.Series(
+            [signatures.minhash_signature(c or "", cfg).tolist() for c in captions]
+        )
+
+    return minhash
+
+
+def make_pixel_signature_udf(cfg: DedupConfig):
+    """bytes -> struct(simhash long, phash long) over decoded pixel blocks.
+
+    One decode feeds both signatures (decode is the dominant cost)."""
+
+    schema = T.StructType(
+        [
+            T.StructField("simhash", T.LongType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def pixel_signature(data: pd.Series) -> pd.DataFrame:
+        simhashes, phashes = [], []
+        for blob in data:
+            pixels = codec.decode_image(bytes(blob))
+            simhashes.append(signatures.simhash64(pixels, cfg))
+            phashes.append(signatures.phash64(pixels, cfg))
+        return pd.DataFrame({"simhash": simhashes, "phash": phashes})
+
+    return pixel_signature
+
+
+def _lcs_length(a: str, b: str) -> int:
+    """Longest common substring length via sorted suffixes + Kasai-style LCP.
+
+    Suffix-array formulation (north_rule): sort all suffixes of both strings,
+    then the LCS is the max common prefix of adjacent suffixes from different
+    strings. O((n+m) log(n+m)) comparisons — captions are short, batches are
+    vectorized at the Arrow layer."""
+    if not a or not b:
+        return 0
+    suffixes = [(a[i:], 0) for i in range(len(a))] + [(b[j:], 1) for j in range(len(b))]
+    suffixes.sort(key=lambda t: t[0])
+    best = 0
+    for (s1, src1), (s2, src2) in zip(suffixes, suffixes[1:]):
+        if src1 == src2:
+            continue
+        limit = min(len(s1), len(s2))
+        k = 0
+        while k < limit and s1[k] == s2[k]:
+            k += 1
+        if k > best:
+            best = k
+    return best
+
+
+def make_verify_udf(cfg: DedupConfig):
+    """(bytes_l, bytes_r, caption_l, caption_r) -> struct(psnr, lcs_len, passed).
+
+    The edge verdict is pixel-authoritative: passed iff decoded pixels are
+    allclose (exact match => +inf PSNR, else PSNR >= psnr_threshold_db — the
+    lossy-format gate). Caption LCS is computed with the suffix-array method
+    and can be additionally required via cfg.require_caption_lcs; caption-only
+    similarity never passes alone (kills caption decoys)."""
+
+    schema = T.StructType(
+        [
+            T.StructField("psnr", T.DoubleType()),
+            T.StructField("lcs_len", T.IntegerType()),
+            T.StructField("passed", T.BooleanType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def verify(
+        bytes_l: pd.Series, bytes_r: pd.Series, cap_l: pd.Series, cap_r: pd.Series
+    ) -> pd.DataFrame:
+        psnrs, lcs_lens, passed = [], [], []
+        for bl, br, cl, cr in zip(bytes_l, bytes_r, cap_l, cap_r):
+            pl = codec.decode_image(bytes(bl))
+            pr = codec.decode_image(bytes(br))
+            psnr = codec.psnr_db(pl, pr)
+            lcs = _lcs_length(cl or "", cr or "")
+            ok = psnr >= cfg.psnr_threshold_db
+            if cfg.require_caption_lcs:
+                ok = ok and lcs >= cfg.lcs_min_len
+            psnrs.append(psnr if np.isfinite(psnr) else (1e9 if psnr > 0 else -1e9))
+            lcs_lens.append(lcs)
+            passed.append(bool(ok))
+        return pd.DataFrame({"psnr": psnrs, "lcs_len": lcs_lens, "passed": passed})
+
+    return verify

@@ -1,0 +1,140 @@
+"""Exact-duplicate stage: cheap keys -> prune -> decoded-pixel hash -> groups.
+
+This is dupion's core pipeline re-expressed declaratively:
+
+  dupion (reference)                          dupion_spark
+  ------------------------------------------  --------------------------------
+  pass 1: stat every file, group by size      cheap keys: byte_len, (w,h) —
+    (state/mod.rs:17-50)                        JVM-side, no decode
+  hash candidates = size non-unique            prune: semi-join against
+    (is_file_read_candidate,                    multi-member (w,h) shape groups
+     state/mod.rs:95-111)                       + byte-sha dedup of decode work
+  pass 2: blake3 file bytes                    pandas-UDF SHA-256 of decoded
+    (driver/platterwalker.rs:268-344)           pixels (input_hint)
+  group by hash (state/mod.rs:51-90)           groupBy("pixel_sha256")
+
+Scale notes (100 TB / 10^12 rows):
+- `sha2(bytes, 256)` for byte-exact grouping runs JVM-side inside whole-stage
+  codegen; no Python touch for the byte-dup fast path.
+- decode-dedup: only ONE row per distinct byte_sha256 is decoded (window
+  row_number, then the hash is joined back) — byte-identical replicas are free,
+  mirroring dupion's "hash each content once" arena semantics.
+- the (w,h) shape prune mirrors the reference's size-pregroup; its prune ratio
+  is reported in the metrics table (BASELINE.md qualitative metric).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dupion_spark.config import DedupConfig
+from dupion_spark.functions.spark_udfs import make_pixel_sha256_udf
+
+
+def with_cheap_keys(images: DataFrame) -> DataFrame:
+    """Add JVM-side cheap columns: byte_len, byte_sha256, shape key.
+
+    Everything here stays in whole-stage codegen — zero Python."""
+    return (
+        images.withColumn("byte_len", F.length("bytes").cast("long"))
+        .withColumn("byte_sha256", F.sha2(F.col("bytes"), 256))
+    )
+
+
+def shape_candidates(images: DataFrame) -> DataFrame:
+    """Prune to rows whose (w, h) shape group has >1 member — only these can
+    possibly be exact pixel duplicates (necessary condition), so only these are
+    decoded. Mirrors dupion's non-unique-size candidate predicate
+    (state/mod.rs:95-111) as a count-window filter (no second scan)."""
+    win = Window.partitionBy("w", "h")
+    return (
+        images.withColumn("_shape_n", F.count(F.lit(1)).over(win))
+        .filter(F.col("_shape_n") > 1)
+        .drop("_shape_n")
+    )
+
+
+def with_pixel_hash(images: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Compute pixel_sha256 with decode-dedup: decode one representative per
+    distinct byte_sha256, then broadcast-free join the hash back on byte_sha256.
+
+    Input must already carry cheap keys (with_cheap_keys)."""
+    pixel_sha256 = make_pixel_sha256_udf()
+    rep_win = Window.partitionBy("byte_sha256").orderBy("image_id")
+    reps = (
+        images.withColumn("_rn", F.row_number().over(rep_win))
+        .filter(F.col("_rn") == 1)
+        .select("byte_sha256", "bytes")
+        .withColumn("pixel_sha256", pixel_sha256(F.col("bytes")))
+        .select("byte_sha256", "pixel_sha256")
+    )
+    return images.join(reps, "byte_sha256", "left")
+
+
+def exact_hash_table(images: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """The `hashes` stage table: image_id, byte_len, byte_sha256, pixel_sha256
+    (null when shape-pruned — such a row cannot be an exact duplicate).
+
+    Near-dup stages never need pixel_sha256, so pruned rows stay cheap."""
+    keyed = with_cheap_keys(images)
+    candidates = shape_candidates(keyed)
+    hashed = with_pixel_hash(candidates, cfg).select(
+        "image_id", "byte_len", "byte_sha256", "pixel_sha256"
+    )
+    pruned = keyed.join(hashed.select("image_id"), "image_id", "left_anti").select(
+        "image_id", "byte_len", "byte_sha256", F.lit(None).cast("binary").alias("pixel_sha256")
+    )
+    return hashed.unionByName(pruned)
+
+
+def exact_groups(hashes: DataFrame) -> DataFrame:
+    """Multi-member exact-pixel groups (dupion's HashGroup, state/mod.rs:51-90):
+    pixel_sha256, n_members, total_bytes, member ids (sorted)."""
+    return (
+        hashes.filter(F.col("pixel_sha256").isNotNull())
+        .groupBy("pixel_sha256")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("byte_len").alias("total_bytes"),
+            F.sort_array(F.collect_list("image_id")).alias("members"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
+
+
+def exact_edges(hashes: DataFrame) -> DataFrame:
+    """Star edges (member -> group-min member) per exact-pixel group.
+
+    Linear in group size (NOT all-pairs) — a 10^6-replica mega-group emits
+    10^6 edges, not 10^12; connectivity for CC is preserved by the star."""
+    win = Window.partitionBy("pixel_sha256")
+    return (
+        hashes.filter(F.col("pixel_sha256").isNotNull())
+        .withColumn("_root", F.min("image_id").over(win))
+        .filter(F.col("image_id") != F.col("_root"))
+        .select(
+            F.col("_root").alias("id_l"),
+            F.col("image_id").alias("id_r"),
+            F.lit("exact").alias("reason"),
+        )
+    )
+
+
+def representatives(hashes: DataFrame) -> DataFrame:
+    """image_id -> rep_id: collapse exact-pixel-identical rows to one node
+    before LSH banding (signatures of identical pixels are identical, so the
+    collapsed graph has the same connected components). This is the first
+    skew weapon: an exact mega-group becomes ONE LSH node."""
+    win = Window.partitionBy("pixel_sha256")
+    hashed = (
+        hashes.filter(F.col("pixel_sha256").isNotNull())
+        .select("image_id", F.min("image_id").over(win).alias("rep_id"))
+    )
+    # pruned rows (null hash) are their own representative; keep them OUT of
+    # the window — otherwise every pruned row lands in one null-key partition
+    # (a self-inflicted skew hotspot at 10^12 rows)
+    pruned = hashes.filter(F.col("pixel_sha256").isNull()).select(
+        "image_id", F.col("image_id").alias("rep_id")
+    )
+    return hashed.unionByName(pruned)

@@ -1,0 +1,152 @@
+"""LSH banding + candidate-pair generation with explicit skew handling.
+
+No reference analog — dupion is exact-only. This stage generalizes dupion's
+"cheap key first, expensive compare second" staging (state/mod.rs:95-111) to
+near-duplicates: band keys are the cheap keys, PSNR/LCS verify is the
+expensive compare.
+
+Band sources:
+  minhash — cfg.minhash_bands bands of cfg.minhash_rows signature slots over
+            caption shingles (catches caption near-dups)
+  phash   — 64-bit perceptual hash split into cfg.phash_bands bit-slices
+            (pigeonhole: hamming distance < n_bands guarantees a shared band)
+  simhash — same banding over the block-mean SimHash
+
+Skew strategy (the mega-cluster problem):
+  1. exact-duplicate collapse upstream (operators/exact.representatives) —
+     identical images are ONE node here.
+  2. bucket-size cap: buckets with <= cfg.max_band_bucket members use the
+     all-pairs self-join (quadratic but tiny); larger buckets are CHAIN-linked
+     (consecutive members after a sort) — linear in bucket size and exactly
+     sufficient for connected components, which only needs connectivity, not
+     every edge. A 10^6-member hot band emits 10^6-1 edges, not 5*10^11.
+  3. the all-pairs self-join runs under AQE skew-join splitting
+     (spark.sql.adaptive.skewJoin.enabled) with band keys salted into the
+     shuffle via the band struct key itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dupion_spark.config import DedupConfig
+from dupion_spark.functions.spark_udfs import make_minhash_udf, make_pixel_signature_udf
+
+
+def signature_table(images: DataFrame, reps: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Per-representative signatures: rep_id, minhash array, simhash, phash.
+
+    Signatures are computed only for representative rows (one per exact-pixel
+    group) — the join keeps only rep rows, then the pandas UDFs run once per
+    distinct image content."""
+    rep_rows = (
+        images.join(
+            reps.filter(F.col("image_id") == F.col("rep_id")).select("image_id"),
+            "image_id",
+            "left_semi",
+        )
+    )
+    minhash = make_minhash_udf(cfg)
+    pixel_sig = make_pixel_signature_udf(cfg)
+    return rep_rows.select(
+        F.col("image_id").alias("rep_id"),
+        minhash(F.col("caption")).alias("minhash"),
+        pixel_sig(F.col("bytes")).alias("_px"),
+    ).select(
+        "rep_id",
+        "minhash",
+        F.col("_px.simhash").alias("simhash"),
+        F.col("_px.phash").alias("phash"),
+    )
+
+
+def _minhash_band_cols(cfg: DedupConfig):
+    """JVM-side band keys over the minhash signature array: md5-60bit of the
+    comma-joined band slice (same formula as signatures.minhash_bands and the
+    DuckDB oracle SQL — cross-engine checkable)."""
+    cols = []
+    for band in range(cfg.minhash_bands):
+        chunk = F.slice(F.col("minhash"), band * cfg.minhash_rows + 1, cfg.minhash_rows)
+        joined = F.array_join(F.transform(chunk, lambda x: x.cast("string")), ",")
+        key = F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("long")
+        cols.append(F.struct(F.lit("minhash").alias("band_src"),
+                             F.lit(band).alias("band_idx"),
+                             key.alias("band_val")))
+    return cols
+
+
+def _hash64_band_cols(col_name: str, n_bands: int, src: str, probe_bits: int):
+    """Band keys over a 64-bit signature, with multiprobe expansion: besides
+    the exact band value, emit every single-bit flip of it (probe_bits=1).
+    Symmetric probing makes band values collide iff they differ in <=2 bits;
+    pigeonhole over n_bands then guarantees a collision for total hamming
+    <= n_bands*2 + n_bands - 1 (d<=11 at 4 bands). All JVM-side bit math."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    cols = []
+    for band in range(n_bands):
+        key = F.shiftrightunsigned(F.col(col_name), band * width).bitwiseAND(F.lit(mask))
+        probes = [key]
+        if probe_bits >= 1:
+            probes += [key.bitwiseXOR(F.lit(1 << bit)) for bit in range(width)]
+        for probe in probes:
+            cols.append(F.struct(F.lit(src).alias("band_src"),
+                                 F.lit(band).alias("band_idx"),
+                                 probe.alias("band_val")))
+    return cols
+
+
+def band_table(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Explode per-rep signatures into (rep_id, band_src, band_idx, band_val,
+    band_key). band_key is a single 64-bit shuffle key (xxhash64 of the
+    triple) so the downstream groupBy/join shuffles on one compact long."""
+    all_bands = (
+        _minhash_band_cols(cfg)
+        + _hash64_band_cols("phash", cfg.phash_bands, "phash", cfg.probe_bits)
+        + _hash64_band_cols("simhash", cfg.simhash_bands, "simhash", cfg.probe_bits)
+    )
+    return (
+        signatures.select("rep_id", F.explode(F.array(*all_bands)).alias("b"))
+        .select(
+            "rep_id",
+            F.col("b.band_src").alias("band_src"),
+            F.col("b.band_idx").alias("band_idx"),
+            F.col("b.band_val").alias("band_val"),
+        )
+        .withColumn("band_key", F.xxhash64("band_src", "band_idx", "band_val"))
+    )
+
+
+def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(id_l, id_r, band_src) candidate pairs, id_l < id_r, distinct.
+
+    Small buckets -> all-pairs self-join (AQE skew-join handles residual skew);
+    buckets over cfg.max_band_bucket -> consecutive chain links (linear)."""
+    counts = bands.groupBy("band_key").agg(F.count(F.lit(1)).alias("_n"))
+    sized = bands.join(counts, "band_key")
+
+    small = sized.filter(F.col("_n") <= cfg.max_band_bucket)
+    left = small.select("band_key", F.col("rep_id").alias("id_l"),
+                        F.col("band_src").alias("band_src"))
+    right = small.select("band_key", F.col("rep_id").alias("id_r"))
+    small_pairs = left.join(right, "band_key").filter(F.col("id_l") < F.col("id_r"))
+
+    big = sized.filter(F.col("_n") > cfg.max_band_bucket)
+    chain_win = Window.partitionBy("band_key").orderBy("rep_id")
+    big_pairs = (
+        big.withColumn("_prev", F.lag("rep_id").over(chain_win))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            F.col("_prev").alias("id_l"),
+            F.col("rep_id").alias("id_r"),
+            F.col("band_src").alias("band_src"),
+        )
+    )
+
+    return (
+        small_pairs.select("id_l", "id_r", "band_src")
+        .unionByName(big_pairs)
+        .groupBy("id_l", "id_r")
+        .agg(F.min("band_src").alias("band_src"))
+    )

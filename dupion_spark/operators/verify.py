@@ -1,0 +1,63 @@
+"""Candidate-pair verification: decoded-pixel PSNR + caption suffix-array LCS.
+
+The expensive compare of the staged design (the graft's analog of dupion's
+full blake3 re-read in pass 2, driver/platterwalker.rs:188-374): runs ONLY on
+pairs that survived LSH banding.
+
+Scale notes: the two payload joins (attach bytes/caption for each side) are
+sort-merge joins on image_id; pairs are orders of magnitude fewer than rows,
+so each join shuffles the pair table plus a semi-join-pruned slice of the
+image table. The verify UDF receives Arrow batches bounded by
+spark.sql.execution.arrow.maxRecordsPerBatch so executor memory stays bounded
+(two decoded images per pair in flight per row)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dupion_spark.config import DedupConfig
+from dupion_spark.functions.spark_udfs import make_verify_udf
+
+
+def verified_edges(pairs: DataFrame, images: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """pairs(id_l, id_r, band_src) x images -> verified edge table
+    (id_l, id_r, band_src, psnr, lcs_len, passed)."""
+    payload = images.select("image_id", "bytes", "caption")
+    # prune the payload to ids that appear in any pair before joining — at
+    # 10^12 rows this keeps the shuffled image slice proportional to the
+    # candidate set, not the corpus
+    ids = pairs.select(F.col("id_l").alias("image_id")).unionByName(
+        pairs.select(F.col("id_r").alias("image_id"))
+    ).distinct()
+    payload = payload.join(ids, "image_id", "left_semi")
+
+    left = payload.select(
+        F.col("image_id").alias("id_l"),
+        F.col("bytes").alias("bytes_l"),
+        F.col("caption").alias("caption_l"),
+    )
+    right = payload.select(
+        F.col("image_id").alias("id_r"),
+        F.col("bytes").alias("bytes_r"),
+        F.col("caption").alias("caption_r"),
+    )
+    verify = make_verify_udf(cfg)
+    return (
+        pairs.join(left, "id_l").join(right, "id_r")
+        .withColumn(
+            "_v",
+            verify(
+                F.col("bytes_l"), F.col("bytes_r"),
+                F.col("caption_l"), F.col("caption_r"),
+            ),
+        )
+        .select(
+            "id_l",
+            "id_r",
+            "band_src",
+            F.col("_v.psnr").alias("psnr"),
+            F.col("_v.lcs_len").alias("lcs_len"),
+            F.col("_v.passed").alias("passed"),
+        )
+    )

@@ -1,0 +1,134 @@
+"""End-to-end near-duplicate pipeline orchestration.
+
+The staged dataflow (SURVEY.md §3.1 "Spark shape"):
+
+    images
+      ├─ exact:   cheap keys → shape prune → pixel SHA-256 → hash groups
+      ├─ reps:    collapse exact-identical rows to one LSH node
+      ├─ sigs:    MinHash(caption) + SimHash/pHash(pixels) per rep
+      ├─ bands:   LSH band explode → band_key
+      ├─ pairs:   bucketed self-join (+ chain-links for hot buckets)
+      ├─ edges:   PSNR/LCS verification of candidate pairs
+      ├─ cc:      large-star/small-star connected components
+      ├─ clusters: rep assignments expanded to all rows + singletons
+      ├─ canonical: senpai election per cluster (O6)
+      └─ rollup/shadow: per-partition rollup + duplicated-partition shadows
+
+Every stage goes through the CheckpointManager (resume = skip stages whose
+manifest chain matches), and stage/partition lineage + metrics accumulate per
+run. Run `python -m dupion_spark.pipeline` for a quick local demo.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dupion_spark.config import DedupConfig
+from dupion_spark.operators import connected_components as cc
+from dupion_spark.operators import election, exact, lsh, rollup, verify
+from dupion_spark.sources.checkpoint import CheckpointManager
+
+
+@dataclass
+class PipelineResult:
+    hashes: DataFrame
+    exact_groups: DataFrame
+    clusters: DataFrame          # image_id, cluster_root
+    canonical: DataFrame         # cluster_root, canonical_image_id, ...
+    verified_edges: DataFrame
+    candidate_pairs: DataFrame
+    rollup: DataFrame | None
+    shadows: DataFrame | None
+    lineage: DataFrame
+    metrics: dict
+
+
+def run_pipeline(
+    spark: SparkSession,
+    images: DataFrame,
+    cfg: DedupConfig | None = None,
+    partition_map: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
+) -> PipelineResult:
+    cfg = cfg or DedupConfig()
+    mgr = CheckpointManager(spark, checkpoint_dir, cfg)
+
+    hashes = mgr.stage("hashes", lambda: exact.exact_hash_table(images, cfg))
+    groups = mgr.stage("exact_groups", lambda: exact.exact_groups(hashes), ["hashes"])
+    reps = mgr.stage("reps", lambda: exact.representatives(hashes), ["hashes"])
+
+    sigs = mgr.stage(
+        "signatures", lambda: lsh.signature_table(images, reps, cfg), ["reps"]
+    )
+    bands = mgr.stage("bands", lambda: lsh.band_table(sigs, cfg), ["signatures"])
+    pairs = mgr.stage("pairs", lambda: lsh.candidate_pairs(bands, cfg), ["bands"])
+    edges = mgr.stage(
+        "verified_edges", lambda: verify.verified_edges(pairs, images, cfg), ["pairs"]
+    )
+
+    def _cluster() -> DataFrame:
+        near = edges.filter(F.col("passed")).select("id_l", "id_r")
+        rep_assign = cc.connected_components(
+            near, cfg.cc_max_iterations, cfg.cc_checkpoint_every
+        )
+        rep_assign = cc.attach_singletons(
+            rep_assign, reps.select(F.col("rep_id").alias("image_id")).distinct()
+        )
+        return cc.expand_representatives(rep_assign, reps)
+
+    clusters = mgr.stage("clusters", _cluster, ["verified_edges", "reps"])
+    canonical = mgr.stage(
+        "canonical", lambda: election.canonical_map(clusters, hashes), ["clusters", "hashes"]
+    )
+
+    roll = shadows = None
+    if partition_map is not None:
+        roll = mgr.stage(
+            "rollup", lambda: rollup.rollup_table(hashes, partition_map), ["hashes"]
+        )
+        dup_parts = rollup.duplicated_partitions(roll)
+        shadows = mgr.stage(
+            "shadows", lambda: rollup.shadowed_images(partition_map, dup_parts), ["rollup"]
+        )
+
+    # metrics: stage-1 prune ratio (BASELINE.md qualitative metric) + stage rows
+    n_images = images.count()
+    n_hashed = hashes.filter(F.col("pixel_sha256").isNotNull()).count()
+    metrics = {
+        "n_images": n_images,
+        "n_pixel_hashed": n_hashed,
+        "prune_ratio": round(1.0 - n_hashed / max(n_images, 1), 4),
+        "stages": {r.stage: {"rows": r.rows_out, "wall_ms": r.wall_ms, "resumed": r.resumed}
+                   for r in mgr.records},
+    }
+
+    return PipelineResult(
+        hashes=hashes,
+        exact_groups=groups,
+        clusters=clusters,
+        canonical=canonical,
+        verified_edges=edges,
+        candidate_pairs=pairs,
+        rollup=roll,
+        shadows=shadows,
+        lineage=mgr.lineage_df(),
+        metrics=metrics,
+    )
+
+
+if __name__ == "__main__":  # quick local demo on the synthetic fixture
+    import json
+
+    from dupion_spark.session import get_spark
+    from dupion_spark.sources.synth import generate
+
+    spark = get_spark("dupion_spark_demo", cores=8)
+    fixture = generate(500)
+    images_df = spark.createDataFrame(fixture.images)
+    parts_df = spark.createDataFrame(fixture.partition_map)
+    result = run_pipeline(spark, images_df, partition_map=parts_df)
+    print(json.dumps(result.metrics, indent=2))
+    result.canonical.orderBy(F.desc("n_members")).show(10, truncate=False)

@@ -1,0 +1,643 @@
+"""Driver-contract queries: named (spark, sf_dir) -> DataFrame callables with
+matching DuckDB oracle SQL.
+
+Every operator from SURVEY.md §2 is exposed here over the driver's TPC-H-ish
+parquet tables (region nation customer supplier part orders lineitem events
+documents embeddings), each with an ANSI/DuckDB oracle computing the same
+result. Cross-engine determinism rules used throughout:
+
+- shared 60-bit string hash: Spark `conv(substr(md5(x),1,15),16,10)::long` ==
+  DuckDB `CAST('0x'||substr(md5(x),1,15) AS BIGINT)` (`H60` below);
+- every aggregate/computed column aliased identically on both sides;
+- floats rounded explicitly on both sides before output;
+- all mixing arithmetic mod 2^31-1 so BIGINT math never overflows (ANSI-safe).
+
+Image-pipeline queries (non-SQL-expressible: pandas-UDF decode + iterative CC)
+are registered without oracle SQL — the driver records rows-only checks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared constants (must be literal-identical in Spark exprs and oracle SQL)
+# ---------------------------------------------------------------------------
+M31 = 2_147_483_647
+# doc-dedup MinHash: k=16 hash functions, 4 bands x 4 rows, constants derived
+# from DedupConfig.minhash_params()-style seeding but kept small + literal so
+# the oracle SQL stays readable and byte-identical in both engines.
+DOC_MINHASH = [
+    (1103515245, 12345),
+    (1588635695, 879190747),
+    (1117695901, 913687919),
+    (1876998201, 439044377),
+    (1457850878, 225169473),
+    (1203248318, 792148597),
+    (854128733, 128346713),
+    (1391051223, 573825997),
+    (705387353, 341613563),
+    (1217823073, 905220393),
+    (1760202487, 437993879),
+    (1092548147, 779160363),
+    (1562101337, 270893951),
+    (948609305, 587432117),
+    (1329850193, 104730687),
+    (1727138099, 694398241),
+]
+DOC_SHINGLE_K = 8
+DOC_BANDS = 4
+DOC_ROWS = 4
+
+STOPWORDS_EN = ["the", "and", "of", "to", "in", "is", "for", "with"]
+
+
+def _tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names]
+
+
+def _h60(col):
+    """Spark-side shared 60-bit md5 hash (see module docstring)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+H60_SQL = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+# ===========================================================================
+# A1/A2/F2/A5 — size & hash grouping, candidate pruning (dupion's core aggs)
+# ===========================================================================
+def q_a1_size_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 group-by-size (state/mod.rs:17-50): documents bucketed by n_chars."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("n_chars")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+SQL_A1 = """
+SELECT n_chars, count(*) AS n_docs, min(doc_id) AS min_doc
+FROM documents GROUP BY n_chars HAVING count(*) > 1
+"""
+
+
+def q_a2_hash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 group-by-hash (state/mod.rs:51-90): exact-duplicate text groups."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("text_hash", F.md5("text"))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("doc_id").alias("min_doc"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+SQL_A2 = """
+SELECT md5(text) AS text_hash, count(*) AS n_members,
+       min(doc_id) AS min_doc, sum(n_chars) AS total_chars
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_f2_candidate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 hash-candidate predicate (state/mod.rs:95-111): keep only docs whose
+    size bucket has >1 member — the rows worth hashing. Semi-join prune."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    sizes = docs.groupBy("n_chars").count().filter("count > 1").select("n_chars")
+    return docs.join(sizes, "n_chars", "left_semi").select("doc_id", "n_chars")
+
+
+SQL_F2 = """
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars IN (SELECT n_chars FROM documents GROUP BY n_chars HAVING count(*) > 1)
+"""
+
+
+def q_a5_occurrence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 membership counts (state/mod.rs:91-94,112-118) as count windows."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    win = Window.partitionBy(F.md5("text"))
+    return docs.select(
+        "doc_id",
+        F.count(F.lit(1)).over(win).alias("n_same_hash"),
+        (F.count(F.lit(1)).over(win) > 1).alias("more_than_one"),
+    )
+
+
+SQL_A5 = """
+SELECT doc_id,
+       count(*) OVER (PARTITION BY md5(text)) AS n_same_hash,
+       count(*) OVER (PARTITION BY md5(text)) > 1 AS more_than_one
+FROM documents
+"""
+
+
+# ===========================================================================
+# A4 — hierarchical rollup hash (region <- nation <- customer)
+# ===========================================================================
+def q_a4_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 recursive dir-hash rollup (process/mod.rs:35-108): bottom-up
+    two-level rollup — nation_hash = md5 over sorted customer names,
+    region_hash = md5 over sorted (nation_name:nation_hash) pairs."""
+    region, nation, customer = _tables(spark, sf_dir, "region", "nation", "customer")
+    nation_hash = (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_regionkey", "n_name")
+        .agg(F.md5(F.array_join(F.sort_array(F.collect_list("c_name")), "|")).alias("nation_hash"))
+    )
+    pair = F.concat_ws(":", F.col("n_name"), F.col("nation_hash"))
+    return (
+        nation_hash.groupBy("n_regionkey")
+        .agg(
+            F.md5(F.array_join(F.sort_array(F.collect_list(pair)), "|")).alias("region_hash"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .join(region, F.col("n_regionkey") == region.r_regionkey)
+        .select(F.col("r_name").alias("region_name"), "region_hash", "n_nations")
+    )
+
+
+SQL_A4 = """
+WITH nh AS (
+  SELECT n.n_regionkey, n.n_name,
+         md5(string_agg(c.c_name, '|' ORDER BY c.c_name)) AS nation_hash
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_regionkey, n.n_name
+)
+SELECT r.r_name AS region_name,
+       md5(string_agg(nh.n_name || ':' || nh.nation_hash, '|'
+           ORDER BY nh.n_name || ':' || nh.nation_hash)) AS region_hash,
+       count(*) AS n_nations
+FROM nh JOIN region r ON nh.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+# ===========================================================================
+# A6 / O6 / O2 — run-length counts, senpai election, export ordering
+# ===========================================================================
+def q_a6_runlength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 phys-occurrence run-length (dedup/mod.rs:124-149): occurrences of
+    identical (partkey, suppkey) within lineitem."""
+    (lineitem,) = _tables(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_partkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+        .filter(F.col("occurrences") > 1)
+    )
+
+
+SQL_A6 = """
+SELECT l_partkey, l_suppkey, count(*) AS occurrences
+FROM lineitem GROUP BY l_partkey, l_suppkey HAVING count(*) > 1
+"""
+
+
+def q_o6_senpai_election(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 senpai election (dedup/mod.rs:60-79): per customer, elect the argmin
+    order by (o_totalprice ASC, o_orderdate ASC, o_orderkey ASC) — the same
+    multi-key argmin-with-tiebreaks window as dupion's representative pick."""
+    (orders,) = _tables(spark, sf_dir, "orders")
+    win = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("senpai_order"),
+            F.round("o_totalprice", 2).alias("senpai_price"),
+        )
+    )
+
+
+SQL_O6 = """
+SELECT o_custkey, o_orderkey AS senpai_order, round(o_totalprice, 2) AS senpai_price
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderdate ASC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+def q_o2_export_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 export ordering (process/mod.rs:8-33): duplicate groups sorted by
+    (size DESC, first-member ASC); emitted with their rank so ordering is
+    part of the compared values."""
+    (orders,) = _tables(spark, sf_dir, "orders")
+    groups = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("group_size"),
+        F.min("o_orderkey").alias("first_member"),
+        F.count(F.lit(1)).alias("n_members"),
+    ).filter(F.col("n_members") > 1)
+    win = Window.orderBy(F.col("group_size").desc(), F.col("first_member").asc())
+    return groups.withColumn("export_rank", F.row_number().over(win)).select(
+        "o_custkey", "group_size", "first_member", "n_members", "export_rank"
+    )
+
+
+SQL_O2 = """
+SELECT o_custkey, group_size, first_member, n_members,
+       row_number() OVER (ORDER BY group_size DESC, first_member ASC) AS export_rank
+FROM (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS group_size,
+         min(o_orderkey) AS first_member, count(*) AS n_members
+  FROM orders GROUP BY o_custkey HAVING count(*) > 1
+)
+"""
+
+
+# ===========================================================================
+# J2 / J3 / P1 — treediff join, shadow semi-join, shadow-rule group filter
+# ===========================================================================
+def q_j2_treediff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 treediff (output/treediff.rs:96-131): full-outer path-translation
+    join of two 'roots' (part table halves keyed by partkey mod 1000) with
+    content-hash compare -> 2 equal / 1 one-side / 0 differ."""
+    (part,) = _tables(spark, sf_dir, "part")
+    a = part.filter(F.col("p_partkey") <= 1000).select(
+        (F.col("p_partkey") % 1000).alias("rel_key"), F.md5("p_name").alias("hash_a")
+    )
+    b = part.filter(F.col("p_partkey") > 1000).select(
+        (F.col("p_partkey") % 1000).alias("rel_key"), F.md5("p_name").alias("hash_b")
+    )
+    return a.join(b, "rel_key", "full_outer").select(
+        "rel_key",
+        F.when(F.col("hash_a") == F.col("hash_b"), F.lit(2))
+        .when(F.col("hash_a").isNull() | F.col("hash_b").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("status"),
+    )
+
+
+SQL_J2 = """
+WITH a AS (SELECT p_partkey % 1000 AS rel_key, md5(p_name) AS hash_a
+           FROM part WHERE p_partkey <= 1000),
+     b AS (SELECT p_partkey % 1000 AS rel_key, md5(p_name) AS hash_b
+           FROM part WHERE p_partkey > 1000)
+SELECT coalesce(a.rel_key, b.rel_key) AS rel_key,
+       CASE WHEN hash_a = hash_b THEN 2
+            WHEN hash_a IS NULL OR hash_b IS NULL THEN 1
+            ELSE 0 END AS status
+FROM a FULL OUTER JOIN b ON a.rel_key = b.rel_key
+"""
+
+
+def q_j3_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 shadow propagation (process/mod.rs:110-136): a doc is shadowed iff
+    its container (source) holds at least one duplicated text — semi-join of
+    members against duplicated-container set."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    dup_texts = docs.groupBy(F.md5("text").alias("h")).count().filter("count > 1")
+    dup_sources = (
+        docs.withColumn("h", F.md5("text"))
+        .join(dup_texts.select("h"), "h", "left_semi")
+        .select("source")
+        .distinct()
+    )
+    flagged = docs.join(dup_sources, "source", "left_semi").select(
+        "doc_id", F.lit(True).alias("shadowed")
+    )
+    return docs.select("doc_id").join(flagged, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("shadowed"), F.lit(False)).alias("shadowed")
+    )
+
+
+SQL_J3 = """
+SELECT d.doc_id,
+       d.source IN (
+         SELECT DISTINCT source FROM documents
+         WHERE md5(text) IN (SELECT md5(text) FROM documents
+                             GROUP BY md5(text) HAVING count(*) > 1)
+       ) AS shadowed
+FROM documents d
+"""
+
+
+def q_p1_shadow_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 groups printer shadow rule 3 (output/groups.rs:4-56): drop shadowed
+    members entirely, keep groups with >1 visible member."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    shadows = q_j3_shadow(spark, sf_dir)
+    joined = docs.withColumn("text_hash", F.md5("text")).join(shadows, "doc_id")
+    grouped = joined.groupBy("text_hash").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.col("shadowed").cast("int")).alias("n_shadowed"),
+    )
+    return (
+        grouped.withColumn("n_visible", F.col("n_members") - F.col("n_shadowed"))
+        .filter(F.col("n_visible") > 1)
+        .select("text_hash", "n_members", "n_shadowed", "n_visible")
+    )
+
+
+SQL_P1 = """
+WITH shadows AS (
+  SELECT d.doc_id, md5(d.text) AS text_hash,
+         d.source IN (
+           SELECT DISTINCT source FROM documents
+           WHERE md5(text) IN (SELECT md5(text) FROM documents
+                               GROUP BY md5(text) HAVING count(*) > 1)
+         ) AS shadowed
+  FROM documents d
+)
+SELECT text_hash, count(*) AS n_members,
+       sum(CASE WHEN shadowed THEN 1 ELSE 0 END) AS n_shadowed,
+       count(*) - sum(CASE WHEN shadowed THEN 1 ELSE 0 END) AS n_visible
+FROM shadows GROUP BY text_hash
+HAVING count(*) - sum(CASE WHEN shadowed THEN 1 ELSE 0 END) > 1
+"""
+
+
+# ===========================================================================
+# training-data ops: exact dedup, MinHash LSH, SimHash, n-gram Jaccard,
+# language-ID, quality score, token count, fingerprint
+# ===========================================================================
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: per-doc cluster assignment = min doc_id of its text group."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    win = Window.partitionBy(F.md5("text"))
+    return docs.select("doc_id", F.min("doc_id").over(win).alias("cluster_id"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id
+FROM documents
+"""
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """doc_id, shingle — distinct character 8-shingles per document (docs
+    shorter than k yield the whole text), JVM-side via sequence+transform."""
+    shingle_arr = F.when(
+        F.length("text") < DOC_SHINGLE_K, F.array(F.col("text"))
+    ).otherwise(
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, length(text) - {DOC_SHINGLE_K - 1}),"
+                f" i -> substr(text, i, {DOC_SHINGLE_K}))"
+            )
+        )
+    )
+    return docs.select("doc_id", F.explode(shingle_arr).alias("shingle"))
+
+
+def q_dedup_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures over text shingles (the caption-MinHash operator on
+    the documents table, SQL-checkable): doc_id, h0..h15 signature columns."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    shingles = _doc_shingles(docs).withColumn("base", _h60(F.col("shingle")) % M31)
+    aggs = [
+        F.min((F.col("base") * a + b) % M31).alias(f"h{i}")
+        for i, (a, b) in enumerate(DOC_MINHASH)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def _sql_shingles() -> str:
+    return f"""
+  SELECT doc_id, unnest(list_distinct(CASE WHEN length(text) < {DOC_SHINGLE_K}
+      THEN [text]
+      ELSE [substr(text, i, {DOC_SHINGLE_K})
+            for i in range(1, length(text) - {DOC_SHINGLE_K - 2})]
+      END)) AS shingle
+  FROM documents
+"""
+
+
+SQL_DEDUP_MINHASH = (
+    "WITH shingles AS (" + _sql_shingles() + ")\n"
+    "SELECT doc_id,\n"
+    + ",\n".join(
+        f"  min((({H60_SQL.format(x='shingle')} % {M31}) * {a} + {b}) % {M31}) AS h{i}"
+        for i, (a, b) in enumerate(DOC_MINHASH)
+    )
+    + "\nFROM shingles GROUP BY doc_id"
+)
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding + candidate pairs on the doc signatures: band key = md5 of
+    the comma-joined band slice; self-join per (band, key); distinct pairs."""
+    sig = q_dedup_minhash_docs(spark, sf_dir)
+    band_structs = []
+    for band in range(DOC_BANDS):
+        cols = [F.col(f"h{band * DOC_ROWS + r}").cast("string") for r in range(DOC_ROWS)]
+        band_structs.append(
+            F.struct(F.lit(band).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("key"))
+        )
+    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
+    left = bands.select("band", "key", F.col("doc_id").alias("id_l"))
+    right = bands.select("band", "key", F.col("doc_id").alias("id_r"))
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_l") < F.col("id_r"))
+        .select("id_l", "id_r")
+        .distinct()
+    )
+
+
+def _sql_band_key(band: int) -> str:
+    cols = " || ',' || ".join(
+        f"CAST(h{band * DOC_ROWS + r} AS VARCHAR)" for r in range(DOC_ROWS)
+    )
+    return f"md5({cols})"
+
+
+SQL_DEDUP_MINHASH_PAIRS = (
+    "WITH shingles AS (" + _sql_shingles() + "),\n"
+    "sig AS (SELECT doc_id,\n"
+    + ",\n".join(
+        f"  min((({H60_SQL.format(x='shingle')} % {M31}) * {a} + {b}) % {M31}) AS h{i}"
+        for i, (a, b) in enumerate(DOC_MINHASH)
+    )
+    + "\nFROM shingles GROUP BY doc_id),\n"
+    "bands AS (\n"
+    + "\nUNION ALL\n".join(
+        f"  SELECT doc_id, {band} AS band, {_sql_band_key(band)} AS key FROM sig"
+        for band in range(DOC_BANDS)
+    )
+    + ")\n"
+    "SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r\n"
+    "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key\n"
+    "WHERE a.doc_id < b.doc_id"
+)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard for LSH candidate pairs: |A∩B| / |A∪B| over the
+    distinct shingle sets, rounded to 6 decimals."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    pairs = q_dedup_minhash_pairs(spark, sf_dir)
+    sh = _doc_shingles(docs)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_l = sh.select(F.col("doc_id").alias("id_l"), "shingle")
+    sh_r = sh.select(F.col("doc_id").alias("id_r"), "shingle")
+    shared = (
+        pairs.join(sh_l, "id_l").join(sh_r, ["id_r", "shingle"])
+        .groupBy("id_l", "id_r")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        shared.join(counts.withColumnRenamed("doc_id", "id_l").withColumnRenamed("n_sh", "n_l"), "id_l")
+        .join(counts.withColumnRenamed("doc_id", "id_r").withColumnRenamed("n_sh", "n_r"), "id_r")
+        .select(
+            "id_l",
+            "id_r",
+            F.round(
+                F.col("n_inter") / (F.col("n_l") + F.col("n_r") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+SQL_NGRAM_JACCARD = (
+    "WITH shingles AS (" + _sql_shingles() + "),\n"
+    "sig AS (SELECT doc_id,\n"
+    + ",\n".join(
+        f"  min((({H60_SQL.format(x='shingle')} % {M31}) * {a} + {b}) % {M31}) AS h{i}"
+        for i, (a, b) in enumerate(DOC_MINHASH)
+    )
+    + "\nFROM shingles GROUP BY doc_id),\n"
+    "bands AS (\n"
+    + "\nUNION ALL\n".join(
+        f"  SELECT doc_id, {band} AS band, {_sql_band_key(band)} AS key FROM sig"
+        for band in range(DOC_BANDS)
+    )
+    + "),\n"
+    "pairs AS (SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r\n"
+    "          FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key\n"
+    "          WHERE a.doc_id < b.doc_id),\n"
+    "counts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),\n"
+    "shared AS (SELECT p.id_l, p.id_r, count(*) AS n_inter\n"
+    "           FROM pairs p JOIN shingles sl ON sl.doc_id = p.id_l\n"
+    "                        JOIN shingles sr ON sr.doc_id = p.id_r AND sr.shingle = sl.shingle\n"
+    "           GROUP BY p.id_l, p.id_r)\n"
+    "SELECT s.id_l, s.id_r,\n"
+    "       round(CAST(s.n_inter AS DOUBLE) / (cl.n_sh + cr.n_sh - s.n_inter), 6) AS jaccard\n"
+    "FROM shared s JOIN counts cl ON cl.doc_id = s.id_l JOIN counts cr ON cr.doc_id = s.id_r"
+)
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min 60-bit hash over its shingles (rolling-hash
+    style content fingerprint; equal texts -> equal fingerprints)."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs)
+    return sh.groupBy("doc_id").agg(F.min(_h60(F.col("shingle"))).alias("fingerprint"))
+
+
+SQL_TEXT_FINGERPRINT = (
+    "WITH shingles AS (" + _sql_shingles() + ")\n"
+    f"SELECT doc_id, min({H60_SQL.format(x='shingle')}) AS fingerprint\n"
+    "FROM shingles GROUP BY doc_id"
+)
+
+
+def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the events table (streaming-shaped
+    batch query; watermark-compatible in readStream form)."""
+    (events,) = _tables(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+SQL_EVENTS_WINDOW = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM events GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+def q_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (the classic bench headline)."""
+    (lineitem,) = _tables(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ===========================================================================
+# registry
+# ===========================================================================
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "a1_size_groups": q_a1_size_groups,
+        "a2_hash_groups": q_a2_hash_groups,
+        "f2_candidate_prune": q_f2_candidate_prune,
+        "a4_rollup": q_a4_rollup,
+        "a5_occurrence_counts": q_a5_occurrence_counts,
+        "a6_runlength": q_a6_runlength,
+        "o6_senpai_election": q_o6_senpai_election,
+        "o2_export_order": q_o2_export_order,
+        "j2_treediff": q_j2_treediff,
+        "j3_shadow": q_j3_shadow,
+        "p1_shadow_rule": q_p1_shadow_rule,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "dedup_minhash_docs": q_dedup_minhash_docs,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "text_fingerprint": q_text_fingerprint,
+        "events_window_agg": q_events_window_agg,
+        "q1_pricing": q_q1_pricing,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "a1_size_groups": SQL_A1,
+        "a2_hash_groups": SQL_A2,
+        "f2_candidate_prune": SQL_F2,
+        "a4_rollup": SQL_A4,
+        "a5_occurrence_counts": SQL_A5,
+        "a6_runlength": SQL_A6,
+        "o6_senpai_election": SQL_O6,
+        "o2_export_order": SQL_O2,
+        "j2_treediff": SQL_J2,
+        "j3_shadow": SQL_J3,
+        "p1_shadow_rule": SQL_P1,
+        "dedup_exact_docs": SQL_DEDUP_EXACT,
+        "dedup_minhash_docs": SQL_DEDUP_MINHASH,
+        "dedup_minhash_pairs": SQL_DEDUP_MINHASH_PAIRS,
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "text_fingerprint": SQL_TEXT_FINGERPRINT,
+        "events_window_agg": SQL_EVENTS_WINDOW,
+        "q1_pricing": SQL_Q1,
+    }

