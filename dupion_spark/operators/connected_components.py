@@ -10,9 +10,10 @@ propagation would need O(n) rounds to collapse.
 
 Skew notes: both stars are groupBy-min + join (map-side partial aggregation),
 NOT windows, so a mega-star node (10^6-degree root after a few rounds) is
-aggregated combiner-style instead of sorted in one task. Lineage is cut with
-checkpoints every cfg.cc_checkpoint_every rounds — without this the iterative
-plan grows exponentially and the driver OOMs planning round ~15.
+aggregated combiner-style instead of sorted in one task. Every round is
+eagerly checkpointed to truncate the plan — each star embeds its input plan
+~3x, so without truncation the logical plan grows ~9x per round and driver
+planning time explodes exponentially by round 3.
 """
 
 from __future__ import annotations
@@ -43,17 +44,23 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """For each node u over its <=u neighborhood N: m = min(N + {u});
-    connect every node of N + {u} except m to m."""
+    connect every node of N + {u} except m to m.
+
+    Single-pass: both the neighbor edge (v, m) and the self edge (u, m) are
+    emitted from one explode so the input plan is evaluated once per join
+    side, not once per output branch (iterative plans multiply any
+    re-evaluation)."""
     nbrs = _neighbors(edges).filter(F.col("v") <= F.col("u"))
     mins = nbrs.groupBy("u").agg(F.min("v").alias("_mn"))
     withm = nbrs.join(mins, "u").withColumn("_m", F.least(F.col("u"), F.col("_mn")))
-    from_nbrs = withm.filter(F.col("v") != F.col("_m")).select(
-        F.col("v").alias("id_l"), F.col("_m").alias("id_r")
+    return (
+        withm.select(
+            F.explode(F.array(F.col("v"), F.col("u"))).alias("id_l"),
+            F.col("_m").alias("id_r"),
+        )
+        .filter(F.col("id_l") != F.col("id_r"))
+        .distinct()
     )
-    from_self = withm.filter(F.col("u") != F.col("_m")).select(
-        F.col("u").alias("id_l"), F.col("_m").alias("id_r")
-    )
-    return from_nbrs.unionByName(from_self).distinct()
 
 
 def _signature(edges: DataFrame) -> tuple[int, int]:
@@ -69,7 +76,7 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 25,
-    checkpoint_every: int = 3,
+    checkpoint_every: int = 1,  # kept for API compat; every round checkpoints
 ) -> DataFrame:
     """edges(id_l, id_r) -> assignments(image_id, cluster_root).
 
@@ -78,19 +85,19 @@ def connected_components(
     `attach_singletons`."""
     current = (
         edges.select("id_l", "id_r").filter(F.col("id_l") != F.col("id_r")).distinct()
-    ).persist()
-    prev_sig = _signature(current)  # also materializes the cache
+    ).localCheckpoint(eager=True)
+    prev_sig = _signature(current)
     for iteration in range(max_iterations):
-        nxt = _small_star(_large_star(current))
-        # cut lineage periodically (checkpoint) and cache EVERY iteration —
-        # each round reads only its cached parent instead of re-executing the
-        # full iteration history (which is exponential without this)
-        if (iteration + 1) % checkpoint_every == 0:
-            nxt = nxt.localCheckpoint(eager=True)
-        else:
-            nxt = nxt.persist()
-        sig = _signature(nxt)  # materializes nxt
-        current.unpersist()
+        # checkpoint BOTH star outputs eagerly, every iteration. This is not
+        # (only) about recompute: each star embeds its input plan ~3x, so the
+        # un-truncated logical plan grows ~9x per iteration and Catalyst
+        # re-optimization time explodes exponentially by round 3 — persist()
+        # caches data but does NOT truncate plans; checkpoint does. On a real
+        # cluster with a reliable checkpoint dir configured, swap
+        # localCheckpoint for checkpoint() to keep fault tolerance.
+        large = _large_star(current).localCheckpoint(eager=True)
+        nxt = _small_star(large).localCheckpoint(eager=True)
+        sig = _signature(nxt)
         current = nxt
         if sig == prev_sig:
             break

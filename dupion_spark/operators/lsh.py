@@ -27,7 +27,7 @@ Skew strategy (the mega-cluster problem):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dupion_spark.config import DedupConfig
@@ -51,10 +51,14 @@ def signature_table(images: DataFrame, reps: DataFrame, cfg: DedupConfig) -> Dat
     pixel_sig = make_pixel_signature_udf(cfg)
     return rep_rows.select(
         F.col("image_id").alias("rep_id"),
+        F.col("w"),
+        F.col("h"),
         minhash(F.col("caption")).alias("minhash"),
         pixel_sig(F.col("bytes")).alias("_px"),
     ).select(
         "rep_id",
+        "w",
+        "h",
         "minhash",
         F.col("_px.simhash").alias("simhash"),
         F.col("_px.phash").alias("phash"),
@@ -91,9 +95,13 @@ def _hash64_band_cols(col_name: str, n_bands: int, src: str, probe_bits: int):
         if probe_bits >= 1:
             probes += [key.bitwiseXOR(F.lit(1 << bit)) for bit in range(width)]
         for probe in probes:
+            # fold the image shape into the pixel band key: near-duplicate
+            # pixels always share (w, h) — the PSNR verify returns -inf on a
+            # shape mismatch — so this splits the dense low-frequency band
+            # buckets by shape class for free, with zero recall loss
             cols.append(F.struct(F.lit(src).alias("band_src"),
                                  F.lit(band).alias("band_idx"),
-                                 probe.alias("band_val")))
+                                 F.xxhash64(probe, F.col("w"), F.col("h")).alias("band_val")))
     return cols
 
 
@@ -122,8 +130,13 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
     """(id_l, id_r, band_src) candidate pairs, id_l < id_r, distinct.
 
     Small buckets -> all-pairs self-join (AQE skew-join handles residual skew);
-    buckets over cfg.max_band_bucket -> consecutive chain links (linear)."""
-    counts = bands.groupBy("band_key").agg(F.count(F.lit(1)).alias("_n"))
+    buckets over cfg.max_band_bucket -> STAR links to the bucket minimum
+    (linear in bucket size, and — unlike chain links — the bucket subgraph is
+    already a star, so connected components converges on it in one round
+    instead of O(log chain-length))."""
+    counts = bands.groupBy("band_key").agg(
+        F.count(F.lit(1)).alias("_n"), F.min("rep_id").alias("_hub")
+    )
     sized = bands.join(counts, "band_key")
 
     small = sized.filter(F.col("_n") <= cfg.max_band_bucket)
@@ -132,13 +145,11 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
     right = small.select("band_key", F.col("rep_id").alias("id_r"))
     small_pairs = left.join(right, "band_key").filter(F.col("id_l") < F.col("id_r"))
 
-    big = sized.filter(F.col("_n") > cfg.max_band_bucket)
-    chain_win = Window.partitionBy("band_key").orderBy("rep_id")
     big_pairs = (
-        big.withColumn("_prev", F.lag("rep_id").over(chain_win))
-        .filter(F.col("_prev").isNotNull())
+        sized.filter(F.col("_n") > cfg.max_band_bucket)
+        .filter(F.col("rep_id") != F.col("_hub"))
         .select(
-            F.col("_prev").alias("id_l"),
+            F.col("_hub").alias("id_l"),
             F.col("rep_id").alias("id_r"),
             F.col("band_src").alias("band_src"),
         )

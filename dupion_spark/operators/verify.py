@@ -20,6 +20,35 @@ from dupion_spark.config import DedupConfig
 from dupion_spark.functions.spark_udfs import make_verify_udf
 
 
+def prefilter_pairs(pairs: DataFrame, signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Cheap JVM-side pair prefilter: keep a pair only if phash OR simhash
+    hamming distance is within cfg.prefilter_hamming. bit_count(xor) runs in
+    whole-stage codegen — no decode, no Python. Genuine near-dups sit at
+    hamming <= 11 by the multiprobe construction, so this is recall-free
+    pruning of the accidental band collisions (the staged-pruning idea from
+    dupion/src/state/mod.rs:95-111, applied a third time)."""
+    if cfg.prefilter_hamming <= 0:
+        return pairs
+    sig = signatures.select("rep_id", "phash", "simhash")
+    left = sig.select(
+        F.col("rep_id").alias("id_l"),
+        F.col("phash").alias("_ph_l"),
+        F.col("simhash").alias("_sh_l"),
+    )
+    right = sig.select(
+        F.col("rep_id").alias("id_r"),
+        F.col("phash").alias("_ph_r"),
+        F.col("simhash").alias("_sh_r"),
+    )
+    ph_ham = F.bit_count(F.col("_ph_l").bitwiseXOR(F.col("_ph_r")))
+    sh_ham = F.bit_count(F.col("_sh_l").bitwiseXOR(F.col("_sh_r")))
+    return (
+        pairs.join(left, "id_l").join(right, "id_r")
+        .filter(F.least(ph_ham, sh_ham) <= cfg.prefilter_hamming)
+        .select("id_l", "id_r", "band_src")
+    )
+
+
 def verified_edges(pairs: DataFrame, images: DataFrame, cfg: DedupConfig) -> DataFrame:
     """pairs(id_l, id_r, band_src) x images -> verified edge table
     (id_l, id_r, band_src, psnr, lcs_len, passed)."""

@@ -65,8 +65,15 @@ def run_pipeline(
     )
     bands = mgr.stage("bands", lambda: lsh.band_table(sigs, cfg), ["signatures"])
     pairs = mgr.stage("pairs", lambda: lsh.candidate_pairs(bands, cfg), ["bands"])
+    filtered = mgr.stage(
+        "pairs_prefiltered",
+        lambda: verify.prefilter_pairs(pairs, sigs, cfg),
+        ["pairs", "signatures"],
+    )
     edges = mgr.stage(
-        "verified_edges", lambda: verify.verified_edges(pairs, images, cfg), ["pairs"]
+        "verified_edges",
+        lambda: verify.verified_edges(filtered, images, cfg),
+        ["pairs_prefiltered"],
     )
 
     def _cluster() -> DataFrame:

@@ -531,6 +531,112 @@ SQL_NGRAM_JACCARD = (
 )
 
 
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is"],
+    "de": ["der", "die", "und", "ist", "das", "nicht"],
+    "fr": ["le", "la", "et", "les", "des", "une"],
+    "es": ["el", "los", "y", "una", "por", "que"],
+}
+
+
+def _tokens_col():
+    return F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring: token count, alpha ratio, stopword count,
+    composite quality score — all JVM-side string/array ops (the
+    training-data quality-filter stage)."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    tokens = _tokens_col()
+    n_tokens = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(F.size(tokens))
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    alpha_ratio = F.round(alpha / F.greatest(F.length("text"), F.lit(1)), 6)
+    n_stop = F.size(F.filter(tokens, lambda t: t.isin(*STOPWORDS_EN)))
+    quality = F.round(
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        * (alpha / F.greatest(F.length("text"), F.lit(1))),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        alpha_ratio.alias("alpha_ratio"),
+        n_stop.alias("n_stopwords"),
+        quality.alias("quality_score"),
+    )
+
+
+_SQL_STOPLIST = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+SQL_TEXT_STATS = f"""
+SELECT doc_id,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS n_tokens,
+  round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+        / greatest(length(text), 1), 6) AS alpha_ratio,
+  len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                  t -> t IN ({_SQL_STOPLIST}))) AS n_stopwords,
+  round(least((CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END) / 100.0, 1.0)
+        * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+           / greatest(length(text), 1)), 6) AS quality_score
+FROM documents
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: per-language stopword hit counts, argmax with a
+    fixed precedence tiebreak (en > de > fr > es > unknown)."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    tokens = _tokens_col()
+    scores = {
+        lang: F.size(F.filter(tokens, lambda t: t.isin(*words)))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    guessed = (
+        F.when(best == 0, F.lit("unknown"))
+        .when(scores["en"] == best, F.lit("en"))
+        .when(scores["de"] == best, F.lit("de"))
+        .when(scores["fr"] == best, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        guessed.alias("guessed_lang"),
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_STOPWORDS],
+    )
+
+
+def _sql_lang_score(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return (
+        f"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),"
+        f" t -> t IN ({words})))"
+    )
+
+
+SQL_TEXT_LANGID = f"""
+WITH scored AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {_sql_lang_score('en')} AS score_en,
+         {_sql_lang_score('de')} AS score_de,
+         {_sql_lang_score('fr')} AS score_fr,
+         {_sql_lang_score('es')} AS score_es
+  FROM documents
+)
+SELECT doc_id, labeled_lang,
+       CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'unknown'
+            WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+            WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+            WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+            ELSE 'es' END AS guessed_lang,
+       score_en, score_de, score_fr, score_es
+FROM scored
+"""
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: min 60-bit hash over its shingles (rolling-hash
     style content fingerprint; equal texts -> equal fingerprints)."""
@@ -595,6 +701,131 @@ GROUP BY l_returnflag, l_linestatus
 
 
 # ===========================================================================
+# similarity search over embeddings (ANN: brute-force baseline + LSH buckets)
+# ===========================================================================
+EMB_DIM = 64
+EMB_N_QUERIES = 8
+EMB_TOPK = 3
+EMB_N_PLANES = 8
+
+
+def _emb_hyperplanes() -> list[list[int]]:
+    """Deterministic ±1 hyperplane coefficients: sign from the shared 60-bit
+    md5 hash of 'plane:j:i'. Computed in Python once and embedded as literals
+    in BOTH the Spark expression and the oracle SQL — the two engines never
+    have to agree on anything but literal arithmetic."""
+    import hashlib
+
+    planes = []
+    for j in range(EMB_N_PLANES):
+        row = []
+        for i in range(EMB_DIM):
+            h = int(hashlib.md5(f"plane:{j}:{i}".encode()).hexdigest()[:15], 16)
+            row.append(1 if h % 2 == 1 else -1)
+        planes.append(row)
+    return planes
+
+
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: for each of the first EMB_N_QUERIES vectors,
+    the EMB_TOPK nearest neighbors. The query side is broadcast (tiny dim
+    table x full scan — the canonical ANN baseline shape); dot products run
+    JVM-side via zip_with + aggregate (left fold, deterministic order)."""
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    vecs = vecs.withColumn("norm", norm)
+    q = vecs.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qn")
+    ).filter(F.col("query_id") < EMB_N_QUERIES)
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = (
+        F.broadcast(q)
+        .join(vecs, q.query_id != vecs.vec_id)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot / (F.col("qn") * F.col("norm")), 6).alias("cosine"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= EMB_TOPK)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+SQL_EMB_TOPK = f"""
+WITH vecs AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v,
+         sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS norm
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, norm AS qn FROM vecs WHERE vec_id < {EMB_N_QUERIES}
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_sum([q.qv[i] * c.v[i] for i in range(1, {EMB_DIM + 1})])
+               / (q.qn * c.norm), 6) AS cosine
+  FROM q JOIN vecs c ON q.query_id != c.vec_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {EMB_TOPK}
+"""
+
+
+def q_emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketing (the ANN scale path): 8 deterministic ±1 hyperplanes
+    -> 8-bit bucket id per vector; output bucket occupancy. At corpus scale
+    the bucket id becomes the shuffle key for bucketed candidate generation
+    (same staged-pruning design as the image LSH)."""
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    planes = _emb_hyperplanes()
+    vecs = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    bucket = F.lit(0)
+    for j, row in enumerate(planes):
+        coeffs = F.array(*[F.lit(float(c)) for c in row])
+        dot = F.aggregate(
+            F.zip_with("v", coeffs, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    assigned = vecs.select("vec_id", bucket.alias("bucket"))
+    return assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec")
+    )
+
+
+def _sql_emb_lsh() -> str:
+    planes = _emb_hyperplanes()
+    bits = []
+    for j, row in enumerate(planes):
+        terms = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {float(c)}" for i, c in enumerate(row)
+        )
+        bits.append(f"CASE WHEN ({terms}) >= 0 THEN {1 << j} ELSE 0 END")
+    bucket = " + ".join(bits)
+    return (
+        f"SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec\n"
+        f"FROM (SELECT vec_id, {bucket} AS bucket FROM embeddings)\n"
+        f"GROUP BY bucket"
+    )
+
+
+SQL_EMB_LSH = _sql_emb_lsh()
+
+
+# ===========================================================================
 # registry
 # ===========================================================================
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -615,8 +846,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "text_fingerprint": q_text_fingerprint,
+        "text_stats": q_text_stats,
+        "text_langid": q_text_langid,
         "events_window_agg": q_events_window_agg,
         "q1_pricing": q_q1_pricing,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_lsh_buckets": q_emb_lsh_buckets,
     }
 
 
@@ -638,6 +873,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_pairs": SQL_DEDUP_MINHASH_PAIRS,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
+        "text_stats": SQL_TEXT_STATS,
+        "text_langid": SQL_TEXT_LANGID,
         "events_window_agg": SQL_EVENTS_WINDOW,
         "q1_pricing": SQL_Q1,
+        "emb_cosine_topk": SQL_EMB_TOPK,
+        "emb_lsh_buckets": SQL_EMB_LSH,
     }

@@ -88,7 +88,11 @@ class CheckpointManager:
         parents = parents or []
         start = time.time()
         if not self.root:
-            df = build()
+            # no checkpoint root: cache the stage instead of writing it — the
+            # pipeline fans out (clusters, canonical, metrics all read the
+            # same upstream stages), and without this every action re-executes
+            # the expensive decode/signature UDF stages from scratch
+            df = build().persist()
             self.records.append(StageRecord(name, -1, int((time.time() - start) * 1000), False, ""))
             return df
 

@@ -1,0 +1,73 @@
+"""Streaming exact-dedup: incremental ingest of image rows.
+
+Pipeline shape:
+    readStream(parquet dir, input_hint schema)
+      -> byte_sha256 (JVM-side, whole-stage codegen)
+      -> watermark + dropDuplicates on content hash   (streaming state store)
+      -> writeStream(append, parquet) with checkpointLocation
+
+dropDuplicatesWithinWatermark bounds the state store: byte-identical rows
+arriving within the watermark window are suppressed; exact dedup across the
+full corpus remains the batch pipeline's job (operators/exact). This mirrors
+dupion's incremental cache semantics (vfs/deser.rs:232-275): cheap incremental
+suppression now, authoritative recompute on schedule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("caption", T.StringType(), True),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+
+def read_image_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream of image rows (new parquet files under input_dir)."""
+    return (
+        spark.readStream.schema(IMAGE_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+
+def dedup_transform(stream: DataFrame) -> DataFrame:
+    """Content-hash + event-time columns, then streaming duplicate drop.
+
+    The ingest timestamp stands in for event time (the driver fixture has no
+    ts column); real deployments carry an ingest ts in the table."""
+    hashed = stream.withColumn("byte_sha256", F.sha2(F.col("bytes"), 256)).withColumn(
+        "ingest_ts", F.current_timestamp()
+    )
+    return hashed.withWatermark("ingest_ts", "1 minute").dropDuplicatesWithinWatermark(
+        ["byte_sha256"]
+    )
+
+
+def run_stream(
+    spark: SparkSession, input_dir: str, output_dir: str, checkpoint_dir: str
+):
+    """Start the streaming dedup job (availableNow: drain-and-stop, the
+    batch-friendly trigger used in tests and backfills)."""
+    deduped = dedup_transform(read_image_stream(spark, input_dir))
+    return (
+        deduped.select(
+            "image_id", "byte_sha256", "w", "h", "fmt", "caption", "phash"
+        )
+        .writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )

@@ -11,7 +11,7 @@ from dupion_spark.operators.connected_components import (
     connected_components,
 )
 
-CHAIN = [(f"c{i:03d}", f"c{i + 1:03d}") for i in range(16)]
+CHAIN = [(f"c{i:03d}", f"c{i + 1:03d}") for i in range(8)]
 STAR = [("hub", f"leaf{i}") for i in range(8)]
 TRIANGLE = [("t_a", "t_b"), ("t_b", "t_c"), ("t_a", "t_c")]
 MESSY = [("m_b", "m_a"), ("m_a", "m_b"), ("m_b", "m_a"), ("m_a", "m_a")]
@@ -28,8 +28,8 @@ def test_combined_graph(spark):
         r["image_id"]: r["cluster_root"]
         for r in attach_singletons(connected_components(df), nodes).collect()
     }
-    # chain: all 17 nodes collapse to the minimum in O(log n) rounds
-    chain_nodes = {f"c{i:03d}" for i in range(17)}
+    # chain: all 9 nodes collapse to the minimum in O(log n) rounds
+    chain_nodes = {f"c{i:03d}" for i in range(9)}
     assert {assign[n] for n in chain_nodes} == {"c000"}
     # star
     star_nodes = {"hub"} | {f"leaf{i}" for i in range(8)}

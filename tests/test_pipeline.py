@@ -68,15 +68,14 @@ def test_no_cross_golden_merges(result, fixture_small):
 def test_canonical_one_per_cluster(result):
     canon = result.canonical
     assert canon.groupBy("cluster_root").count().filter("count > 1").count() == 0
-    # canonical member belongs to its own cluster
-    joined = canon.join(
-        result.clusters,
-        canon.canonical_image_id == result.clusters.image_id,
-        "inner",
+    # the canonical member belongs to the cluster it represents
+    member_clusters = result.clusters.select(
+        F.col("image_id").alias("canonical_image_id"),
+        F.col("cluster_root").alias("member_root"),
     )
-    assert joined.filter(
-        F.col("cluster_root") != canon["cluster_root"]
-    ).count() == 0 or joined.count() > 0
+    joined = canon.join(member_clusters, "canonical_image_id", "inner")
+    assert joined.count() == canon.count()
+    assert joined.filter(F.col("cluster_root") != F.col("member_root")).count() == 0
 
 
 def test_rollup_detects_planted_duplicate_partitions(result):
