@@ -45,10 +45,10 @@ class DedupConfig:
     # --- verification -------------------------------------------------------
     # JVM-side prefilter before the expensive decode-verify: drop candidate
     # pairs whose phash AND simhash hamming distances both exceed this. The
-    # multiprobe LSH guarantees genuine near-dups sit at hamming <= 11, so 16
+    # multiprobe LSH guarantees genuine near-dups sit at hamming <= 11, so 12
     # is recall-safe; caption-only pairs with dissimilar pixels (which would
     # fail the pixel-authoritative verify anyway) die before a single decode.
-    prefilter_hamming: int = 16
+    prefilter_hamming: int = 12
     psnr_threshold_db: float = 40.0   # lossy-format pixel allclose gate
     lcs_min_len: int = 12             # suffix-array LCS length reported/gated
     require_caption_lcs: bool = False # if True, edges need LCS >= lcs_min_len too

@@ -700,6 +700,62 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_m1_dedup_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1/M4 dedup planning, simulate mode (dedup/mod.rs:14-112,
+    dedup/btrfs.rs:137-159): per duplicate group, elect the keeper (min id),
+    list the dups, report reclaimable bytes — the plan table, no mutation."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    hashed = docs.withColumn("text_hash", F.md5("text"))
+    win = Window.partitionBy("text_hash")
+    return (
+        hashed.withColumn("senpai", F.min("doc_id").over(win))
+        .withColumn("n_members", F.count(F.lit(1)).over(win))
+        .filter((F.col("n_members") > 1) & (F.col("doc_id") != F.col("senpai")))
+        .groupBy("text_hash", "senpai")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.sum("n_chars").alias("bytes_reclaimable"),
+            F.sort_array(F.collect_list("doc_id")).alias("dup_ids"),
+        )
+    )
+
+
+SQL_M1_DEDUP_PLAN = """
+WITH h AS (
+  SELECT doc_id, n_chars, md5(text) AS text_hash,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS senpai,
+         count(*) OVER (PARTITION BY md5(text)) AS n_members
+  FROM documents
+)
+SELECT text_hash, senpai, count(*) AS n_dups,
+       sum(n_chars) AS bytes_reclaimable,
+       list_sort(list(doc_id)) AS dup_ids
+FROM h WHERE n_members > 1 AND doc_id != senpai
+GROUP BY text_hash, senpai
+"""
+
+
+def q_o4_preview_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 dup-preview limit (output/tree.rs:103-105): each group shows only
+    its first 4 members — slice of the sorted collected list."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 4).alias("preview"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
+
+
+SQL_O4_PREVIEW = """
+SELECT source, count(*) AS n_members,
+       list_sort(list(doc_id))[1:4] AS preview
+FROM documents GROUP BY source HAVING count(*) > 1
+"""
+
+
 # ===========================================================================
 # similarity search over embeddings (ANN: brute-force baseline + LSH buckets)
 # ===========================================================================
@@ -846,6 +902,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "text_fingerprint": q_text_fingerprint,
+        "m1_dedup_plan": q_m1_dedup_plan,
+        "o4_preview_topk": q_o4_preview_topk,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
         "events_window_agg": q_events_window_agg,
@@ -873,6 +931,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_pairs": SQL_DEDUP_MINHASH_PAIRS,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
+        "m1_dedup_plan": SQL_M1_DEDUP_PLAN,
+        "o4_preview_topk": SQL_O4_PREVIEW,
         "text_stats": SQL_TEXT_STATS,
         "text_langid": SQL_TEXT_LANGID,
         "events_window_agg": SQL_EVENTS_WINDOW,

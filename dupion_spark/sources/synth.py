@@ -33,6 +33,9 @@ VOCAB = (
 
 SIZES = (16, 32, 64)
 
+# bump when the generation logic changes — invalidates materialized fixtures
+SYNTH_VERSION = 2
+
 
 @dataclass
 class SynthResult:
@@ -53,8 +56,12 @@ class _Builder:
 
     # -- primitives ---------------------------------------------------------
     def smooth_pixels(self, h: int, w: int) -> np.ndarray:
-        """Low-frequency image: coarse random grid upsampled + mild noise."""
-        coarse_h, coarse_w = max(2, h // 8), max(2, w // 8)
+        """Low-frequency image: coarse random grid upsampled + mild noise.
+
+        The coarse grid is at least 4x4 so even 16px images carry enough
+        texture for realistic perceptual-hash entropy — real photographs do
+        not collide at hamming<=16 the way 2x2-gradient toys do."""
+        coarse_h, coarse_w = max(4, h // 4), max(4, w // 4)
         coarse = self.rng.integers(16, 240, size=(coarse_h, coarse_w, self.cfg.channels))
         reps_h = int(np.ceil(h / coarse_h))
         reps_w = int(np.ceil(w / coarse_w))
@@ -249,7 +256,9 @@ def materialize(out_dir: str, n_rows: int, cfg: DedupConfig | None = None) -> Sy
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
-    marker = os.path.join(out_dir, f"_SYNTH_{n_rows}_{(cfg or DedupConfig()).config_hash()}")
+    marker = os.path.join(
+        out_dir, f"_SYNTH_v{SYNTH_VERSION}_{n_rows}_{(cfg or DedupConfig()).config_hash()}"
+    )
     result = None
     if not os.path.exists(marker):
         result = generate(n_rows, cfg)
