@@ -72,26 +72,84 @@ def run_image_pipeline(spark, sf_dir: str) -> tuple[float, int]:
     return elapsed, n
 
 
-def scaling_run(sf_dir: str) -> dict:
-    """Same job at two parallelism levels (8 vs 32 cores) on one host —
-    evidence for the N->4N scaling-efficiency criterion (no multi-node
-    cluster in the sandbox)."""
+SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "150000"))
+SCALE_CORES = (2, 8)  # N and 4N "executors"; both far below the 32-vCPU host
+
+
+def _scaling_fixture_path() -> str:
+    return os.path.join(REPO, "data", f"scaling_{SCALE_N}")
+
+
+def _scale_worker(fixture_path: str, cores: int) -> None:
+    """Subprocess entry: one pipeline run at the given core count, fresh JVM.
+    Shuffle partitions are FIXED at 32 for both levels so the physical plan is
+    identical and only executor-thread count varies — the honest analog of
+    same-job-different-cluster-size."""
+    import time as _time
+
+    from dupion_spark.config import DedupConfig
+    from dupion_spark.pipeline import run_pipeline
     from dupion_spark.session import get_spark
 
-    results = {}
-    for cores in (8, 32):
-        spark = get_spark(f"dupion_bench_{cores}", cores=cores,
-                          shuffle_partitions=max(cores, 8))
-        elapsed, n = run_image_pipeline(spark, sf_dir)
-        results[cores] = {"sec": round(elapsed, 2),
-                          "images_per_sec": round(n / elapsed, 1), "n_images": n}
+    spark = get_spark(f"dupion_scale_{cores}", cores=cores, shuffle_partitions=32)
+    images = spark.read.parquet(fixture_path)
+    n = images.count()
+    # warmup on a small slice: JVM codegen + python-worker spin-up are
+    # one-time, parallelism-independent costs that would otherwise pollute
+    # the scaling ratio (measured ~20s of a cold run)
+    warm = run_pipeline(spark, images.limit(1000), DedupConfig())
+    _force(warm.clusters)
+    start = _time.time()
+    result = run_pipeline(spark, images, DedupConfig())
+    _force(result.clusters)
+    _force(result.canonical)
+    elapsed = _time.time() - start
+    spark.stop()
+    print(json.dumps({"cores": cores, "sec": round(elapsed, 2), "n_images": n}))
+
+
+def scaling_run() -> dict:
+    """Same job (full near-dup pipeline on a 150k-image 96-160px fixture) at
+    two parallelism levels — evidence for the N->4N scaling-efficiency
+    criterion (no multi-node cluster in the sandbox; local[2] vs local[8]
+    emulates 2 vs 8 single-core executors without oversubscribing the host).
+    Each measurement runs in its own subprocess: restarting SparkContexts
+    inside one JVM skews timings badly."""
+    import subprocess
+
+    fixture = _scaling_fixture_path()
+    if not os.path.exists(os.path.join(fixture, "_SUCCESS")):
+        from dupion_spark.session import get_spark
+        from dupion_spark.sources.synth_spark import generate_scaling_fixture
+
+        spark = get_spark("dupion_scale_gen", cores=32, shuffle_partitions=64)
+        generate_scaling_fixture(spark, fixture, SCALE_N)
         spark.stop()
-    eff = results[32]["images_per_sec"] / (4 * results[8]["images_per_sec"])
-    results["scaling_efficiency_8_to_32"] = round(eff, 3)
+
+    results = {}
+    for cores in SCALE_CORES:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scale-worker",
+             fixture, str(cores)],
+            capture_output=True, text=True, timeout=3600,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        rec = json.loads(line)
+        results[cores] = {
+            "sec": rec["sec"],
+            "images_per_sec": round(rec["n_images"] / rec["sec"], 1),
+            "n_images": rec["n_images"],
+        }
+    lo, hi = SCALE_CORES
+    eff = results[hi]["images_per_sec"] / (4 * results[lo]["images_per_sec"])
+    results["scaling_efficiency"] = round(eff, 3)
     return results
 
 
 def main() -> None:
+    if len(sys.argv) >= 4 and sys.argv[1] == "--scale-worker":
+        _scale_worker(sys.argv[2], int(sys.argv[3]))
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -117,21 +175,29 @@ def main() -> None:
     spark.stop()
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
-        scaling = scaling_run(sf_dir)
+        scaling = scaling_run()
         payload["scaling"] = scaling
+        lo, hi = SCALE_CORES
         os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
         with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
             fh.write(
                 "# BENCH baseline — measured\n\n"
-                f"Input: synthetic image+caption fixture at {sf_dir} scale "
-                f"({scaling[8]['n_images']} images), full near-dup pipeline "
+                f"Scaling input: deterministic Spark-generated image+caption fixture, "
+                f"{scaling[lo]['n_images']} images at 96-160px "
+                "(dupion_spark/sources/synth_spark.py), full near-dup pipeline "
                 "(hash -> signatures -> LSH -> verify -> CC -> canonical).\n\n"
                 "| parallelism | wall sec | images/sec |\n|---|---|---|\n"
-                f"| local[8] (N) | {scaling[8]['sec']} | {scaling[8]['images_per_sec']} |\n"
-                f"| local[32] (4N) | {scaling[32]['sec']} | {scaling[32]['images_per_sec']} |\n\n"
-                f"**Scaling efficiency N->4N: {scaling['scaling_efficiency_8_to_32']}**"
-                " (criterion: >= 0.8; sandbox evidences executor-count scaling via"
-                " cores-scaling on one host — no multi-node cluster available).\n"
+                f"| local[{lo}] (N) | {scaling[lo]['sec']} | {scaling[lo]['images_per_sec']} |\n"
+                f"| local[{hi}] (4N) | {scaling[hi]['sec']} | {scaling[hi]['images_per_sec']} |\n\n"
+                f"**Scaling efficiency N->4N: {scaling['scaling_efficiency']}**"
+                " (criterion: >= 0.8; the sandbox has no multi-node cluster, so"
+                f" executor-count scaling is evidenced by local[{lo}] vs local[{hi}]"
+                " cores-scaling on one host — identical physical plans, shuffle"
+                " partitions fixed at 32, one fresh JVM per measurement).\n\n"
+                f"Headline-queries bench (driver-run contract): see BENCH_r*.json — "
+                f"this run: {payload['value']}s total at sf={payload['sf']}, "
+                f"img pipeline {payload['img_pipeline_images_per_sec']} images/sec "
+                f"at {payload['img_pipeline_n_images']} images on local[{cpus}].\n"
             )
 
     print(json.dumps(payload))

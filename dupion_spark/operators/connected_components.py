@@ -18,8 +18,19 @@ planning time explodes exponentially by round 3.
 
 from __future__ import annotations
 
+import os
+import sys
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_DEBUG = os.environ.get("DUPION_CC_DEBUG") == "1"
+
+
+def _dbg(msg: str) -> None:
+    if _DEBUG:
+        print(f"[cc] {msg}", file=sys.stderr, flush=True)
 
 
 def _neighbors(edges: DataFrame) -> DataFrame:
@@ -83,11 +94,15 @@ def connected_components(
     cluster_root is the minimum member id of the component (deterministic).
     Nodes appearing in no edge are NOT returned — callers union singletons via
     `attach_singletons`."""
+    t0 = time.time()
     current = (
         edges.select("id_l", "id_r").filter(F.col("id_l") != F.col("id_r")).distinct()
     ).localCheckpoint(eager=True)
+    _dbg(f"initial materialize {time.time() - t0:.1f}s")
     prev_sig = _signature(current)
+    _dbg(f"initial signature {prev_sig}")
     for iteration in range(max_iterations):
+        t0 = time.time()
         # checkpoint BOTH star outputs eagerly, every iteration. This is not
         # (only) about recompute: each star embeds its input plan ~3x, so the
         # un-truncated logical plan grows ~9x per iteration and Catalyst
@@ -99,6 +114,7 @@ def connected_components(
         nxt = _small_star(large).localCheckpoint(eager=True)
         sig = _signature(nxt)
         current = nxt
+        _dbg(f"round {iteration} sig={sig} dt={time.time() - t0:.1f}s")
         if sig == prev_sig:
             break
         prev_sig = sig

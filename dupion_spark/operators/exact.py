@@ -42,50 +42,53 @@ def with_cheap_keys(images: DataFrame) -> DataFrame:
     )
 
 
-def shape_candidates(images: DataFrame) -> DataFrame:
-    """Prune to rows whose (w, h) shape group has >1 member — only these can
-    possibly be exact pixel duplicates (necessary condition), so only these are
-    decoded. Mirrors dupion's non-unique-size candidate predicate
-    (state/mod.rs:95-111) as a count-window filter (no second scan)."""
-    win = Window.partitionBy("w", "h")
-    return (
-        images.withColumn("_shape_n", F.count(F.lit(1)).over(win))
-        .filter(F.col("_shape_n") > 1)
-        .drop("_shape_n")
-    )
-
-
-def with_pixel_hash(images: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Compute pixel_sha256 with decode-dedup: decode one representative per
-    distinct byte_sha256, then broadcast-free join the hash back on byte_sha256.
-
-    Input must already carry cheap keys (with_cheap_keys)."""
-    pixel_sha256 = make_pixel_sha256_udf()
-    rep_win = Window.partitionBy("byte_sha256").orderBy("image_id")
-    reps = (
-        images.withColumn("_rn", F.row_number().over(rep_win))
-        .filter(F.col("_rn") == 1)
-        .select("byte_sha256", "bytes")
-        .withColumn("pixel_sha256", pixel_sha256(F.col("bytes")))
-        .select("byte_sha256", "pixel_sha256")
-    )
-    return images.join(reps, "byte_sha256", "left")
+def shape_counts(images: DataFrame) -> DataFrame:
+    """(w, h) -> member count. A pre-aggregation instead of a count window:
+    column pruning means the scan feeding it reads ONLY w and h (no bytes),
+    and the tiny result broadcast-joins back — the big rows never shuffle for
+    the shape test. Mirrors dupion's size-pregroup (state/mod.rs:17-50)."""
+    return images.groupBy("w", "h").agg(F.count(F.lit(1)).alias("_shape_n"))
 
 
 def exact_hash_table(images: DataFrame, cfg: DedupConfig) -> DataFrame:
     """The `hashes` stage table: image_id, byte_len, byte_sha256, pixel_sha256
     (null when shape-pruned — such a row cannot be an exact duplicate).
 
-    Near-dup stages never need pixel_sha256, so pruned rows stay cheap."""
+    Plan shape (deliberate, for 100 TB inputs):
+      - shape prune = broadcast join against the (w,h) count aggregate —
+        necessary-condition filter, zero bytes shuffled (F2 semantics,
+        state/mod.rs:95-111);
+      - decode-dedup = ONE representative row per distinct byte_sha256 goes
+        through the pandas UDF (row_number window over the candidate slice —
+        the only shuffle that carries bytes);
+      - results join back on byte_sha256 (small decoded side), no anti-join /
+        union, so the expensive sub-plan is referenced exactly once.
+    """
     keyed = with_cheap_keys(images)
-    candidates = shape_candidates(keyed)
-    hashed = with_pixel_hash(candidates, cfg).select(
-        "image_id", "byte_len", "byte_sha256", "pixel_sha256"
+    flagged = keyed.join(F.broadcast(shape_counts(images)), ["w", "h"])
+
+    pixel_sha256 = make_pixel_sha256_udf()
+    rep_win = Window.partitionBy("byte_sha256").orderBy("image_id")
+    decoded = (
+        flagged.filter(F.col("_shape_n") > 1)
+        .select("byte_sha256", "image_id", "bytes")
+        .withColumn("_rn", F.row_number().over(rep_win))
+        .filter(F.col("_rn") == 1)
+        .withColumn("pixel_sha256", pixel_sha256(F.col("bytes")))
+        .select("byte_sha256", "pixel_sha256")
     )
-    pruned = keyed.join(hashed.select("image_id"), "image_id", "left_anti").select(
-        "image_id", "byte_len", "byte_sha256", F.lit(None).cast("binary").alias("pixel_sha256")
+    return (
+        flagged.select("image_id", "byte_len", "byte_sha256", "_shape_n")
+        .join(decoded, "byte_sha256", "left")
+        .select(
+            "image_id",
+            "byte_len",
+            "byte_sha256",
+            F.when(F.col("_shape_n") > 1, F.col("pixel_sha256"))
+            .otherwise(F.lit(None).cast("binary"))
+            .alias("pixel_sha256"),
+        )
     )
-    return hashed.unionByName(pruned)
 
 
 def exact_groups(hashes: DataFrame) -> DataFrame:

@@ -109,10 +109,14 @@ def band_table(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Explode per-rep signatures into (rep_id, band_src, band_idx, band_val,
     band_key). band_key is a single 64-bit shuffle key (xxhash64 of the
     triple) so the downstream groupBy/join shuffles on one compact long."""
+    # multiprobe expansion applies to phash ONLY: phash is the primary pixel
+    # band source with the guaranteed hamming<=11 catch. simhash (a diversity
+    # source with much lower entropy on smooth imagery) gets exact bands —
+    # probing it multiplied junk candidate pairs ~17x for negligible recall.
     all_bands = (
         _minhash_band_cols(cfg)
         + _hash64_band_cols("phash", cfg.phash_bands, "phash", cfg.probe_bits)
-        + _hash64_band_cols("simhash", cfg.simhash_bands, "simhash", cfg.probe_bits)
+        + _hash64_band_cols("simhash", cfg.simhash_bands, "simhash", 0)
     )
     return (
         signatures.select("rep_id", F.explode(F.array(*all_bands)).alias("b"))

@@ -56,6 +56,12 @@ def run_pipeline(
     cfg = cfg or DedupConfig()
     mgr = CheckpointManager(spark, checkpoint_dir, cfg)
 
+    # three stages scan the input (hashes, signatures, verify payload); cache
+    # it for the run so each scan reads the materialized columnar form.
+    # Equivalent at cluster scale: the input is an Iceberg table (already
+    # materialized) — this persist only matters for derived/ephemeral inputs.
+    images = images.persist()
+
     hashes = mgr.stage("hashes", lambda: exact.exact_hash_table(images, cfg))
     groups = mgr.stage("exact_groups", lambda: exact.exact_groups(hashes), ["hashes"])
     reps = mgr.stage("reps", lambda: exact.representatives(hashes), ["hashes"])
@@ -111,6 +117,10 @@ def run_pipeline(
         "stages": {r.stage: {"rows": r.rows_out, "wall_ms": r.wall_ms, "resumed": r.resumed}
                    for r in mgr.records},
     }
+
+    # all stage outputs are materialized (localCheckpoint or parquet), so the
+    # input cache is no longer referenced by anything we return
+    images.unpersist()
 
     return PipelineResult(
         hashes=hashes,

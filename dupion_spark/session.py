@@ -23,6 +23,12 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    # one BLAS/OpenMP thread per Python UDF worker: N workers each spawning
+    # min(cpu_count) math threads oversubscribes the host quadratically and
+    # makes high-parallelism runs SLOWER than low-parallelism ones
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)

@@ -88,11 +88,14 @@ class CheckpointManager:
         parents = parents or []
         start = time.time()
         if not self.root:
-            # no checkpoint root: cache the stage instead of writing it — the
-            # pipeline fans out (clusters, canonical, metrics all read the
-            # same upstream stages), and without this every action re-executes
-            # the expensive decode/signature UDF stages from scratch
-            df = build().persist()
+            # no checkpoint root: eagerly localCheckpoint the stage. Two jobs
+            # done at once: (a) downstream fan-out (clusters/canonical/metrics)
+            # reads materialized data instead of re-executing UDF stages;
+            # (b) the logical plan is TRUNCATED per stage — feeding the whole
+            # multi-stage pipeline to AQE as one giant tree makes it re-plan
+            # the full tree after every shuffle (measured 109s vs 35s for the
+            # same work stage-by-stage at sf0.1).
+            df = build().localCheckpoint(eager=True)
             self.records.append(StageRecord(name, -1, int((time.time() - start) * 1000), False, ""))
             return df
 
