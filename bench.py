@@ -57,18 +57,21 @@ def run_headline(spark, sf_dir: str) -> dict[str, float]:
 
 
 def run_image_pipeline(spark, sf_dir: str) -> tuple[float, int]:
+    import os as _os
+
     from dupion_spark.config import DedupConfig
-    from dupion_spark.image_queries import load_images
+    from dupion_spark.image_queries import _fixture_dir, load_images
     from dupion_spark.pipeline import run_pipeline
 
-    images = load_images(spark, sf_dir).cache()
+    fdir, _ = _fixture_dir(sf_dir)
+    source = _os.path.join(fdir, "images.parquet")
+    images = load_images(spark, sf_dir)
     n = images.count()
     start = time.time()
-    result = run_pipeline(spark, images, DedupConfig())
+    result = run_pipeline(spark, images, DedupConfig(), source_path=source)
     _force(result.clusters)
     _force(result.canonical)
     elapsed = time.time() - start
-    images.unpersist()
     return elapsed, n
 
 
@@ -100,12 +103,21 @@ def _scale_worker(fixture_path: str, cores: int) -> None:
     warm = run_pipeline(spark, images.limit(1000), DedupConfig())
     _force(warm.clusters)
     start = _time.time()
-    result = run_pipeline(spark, images, DedupConfig())
+    result = run_pipeline(spark, images, DedupConfig(), source_path=fixture_path)
     _force(result.clusters)
     _force(result.canonical)
     elapsed = _time.time() - start
     spark.stop()
     print(json.dumps({"cores": cores, "sec": round(elapsed, 2), "n_images": n}))
+
+
+def _gen_fixture_worker(fixture_path: str, n_rows: int) -> None:
+    from dupion_spark.session import get_spark
+    from dupion_spark.sources.synth_spark import generate_scaling_fixture
+
+    spark = get_spark("dupion_scale_gen", cores=32, shuffle_partitions=64)
+    generate_scaling_fixture(spark, fixture_path, n_rows)
+    spark.stop()
 
 
 def scaling_run() -> dict:
@@ -119,12 +131,14 @@ def scaling_run() -> dict:
 
     fixture = _scaling_fixture_path()
     if not os.path.exists(os.path.join(fixture, "_SUCCESS")):
-        from dupion_spark.session import get_spark
-        from dupion_spark.sources.synth_spark import generate_scaling_fixture
-
-        spark = get_spark("dupion_scale_gen", cores=32, shuffle_partitions=64)
-        generate_scaling_fixture(spark, fixture, SCALE_N)
-        spark.stop()
+        # generate in a subprocess: a stopped SparkSession's JVM lingers (and
+        # keeps burning CPU) until its python process exits, which would
+        # contend with the measurement subprocesses
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--gen-fixture",
+             fixture, str(SCALE_N)],
+            check=True, timeout=3600,
+        )
 
     results = {}
     for cores in SCALE_CORES:
@@ -149,6 +163,9 @@ def scaling_run() -> dict:
 def main() -> None:
     if len(sys.argv) >= 4 and sys.argv[1] == "--scale-worker":
         _scale_worker(sys.argv[2], int(sys.argv[3]))
+        return
+    if len(sys.argv) >= 4 and sys.argv[1] == "--gen-fixture":
+        _gen_fixture_worker(sys.argv[2], int(sys.argv[3]))
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

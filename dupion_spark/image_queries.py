@@ -83,10 +83,45 @@ def q_img_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.rollup
 
 
+def q_img_groups_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 shadow-rule group output (groups.rs:4-56) over the image clusters:
+    rule 2 (the reference default)."""
+    from dupion_spark.operators.groups import groups_with_shadow_rule
+
+    images = load_images(spark, sf_dir)
+    parts = load_partition_map(spark, sf_dir)
+    result = run_pipeline(spark, images, DedupConfig(), partition_map=parts)
+    out = groups_with_shadow_rule(result.clusters, result.shadows, rule=2)
+    return out.select(
+        "cluster_root", "n_members", "n_shadowed", "n_visible",
+        F.col("members").getItem(0).alias("first_member"),
+    )
+
+
+def q_img_treediff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 treediff (treediff.rs:96-131) between the two planted duplicate
+    partitions dupA/dupB: every rel_name should classify as 2 (equal)."""
+    from dupion_spark.operators import exact
+    from dupion_spark.operators.treediff import diff_rows
+
+    images = load_images(spark, sf_dir)
+    parts = load_partition_map(spark, sf_dir)
+    cfg = DedupConfig()
+    hashes = exact.exact_hash_table(images, cfg)
+    keyed = parts.join(hashes, "image_id").withColumn(
+        "content_hash", F.coalesce(F.hex("pixel_sha256"), F.col("byte_sha256"))
+    )
+    side_a = keyed.filter(F.col("part_key") == "dupA")
+    side_b = keyed.filter(F.col("part_key") == "dupB")
+    return diff_rows(side_a, side_b)
+
+
 def image_queries():
     return {
         "img_exact_groups": q_img_exact_groups,
         "img_clusters": q_img_clusters,
         "img_canonical": q_img_canonical,
         "img_rollup": q_img_rollup,
+        "img_groups_shadow": q_img_groups_shadow,
+        "img_treediff": q_img_treediff,
     }

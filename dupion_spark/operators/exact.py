@@ -58,36 +58,25 @@ def exact_hash_table(images: DataFrame, cfg: DedupConfig) -> DataFrame:
       - shape prune = broadcast join against the (w,h) count aggregate —
         necessary-condition filter, zero bytes shuffled (F2 semantics,
         state/mod.rs:95-111);
-      - decode-dedup = ONE representative row per distinct byte_sha256 goes
-        through the pandas UDF (row_number window over the candidate slice —
-        the only shuffle that carries bytes);
-      - results join back on byte_sha256 (small decoded side), no anti-join /
-        union, so the expensive sub-plan is referenced exactly once.
+      - decode runs MAP-SIDE in the scan pipeline: image bytes NEVER enter a
+        shuffle. An earlier design deduplicated decode work per distinct
+        byte_sha256 via a window — that shuffles the entire bytes column, and
+        shuffling a corpus-sized binary column costs far more than decoding
+        byte-identical replicas twice (measured: the window made the stage
+        disk-bound and parallelism-flat). Exact-replica decode dedup belongs
+        in ingest (the streaming path), not here.
     """
     keyed = with_cheap_keys(images)
     flagged = keyed.join(F.broadcast(shape_counts(images)), ["w", "h"])
 
     pixel_sha256 = make_pixel_sha256_udf()
-    rep_win = Window.partitionBy("byte_sha256").orderBy("image_id")
-    decoded = (
-        flagged.filter(F.col("_shape_n") > 1)
-        .select("byte_sha256", "image_id", "bytes")
-        .withColumn("_rn", F.row_number().over(rep_win))
-        .filter(F.col("_rn") == 1)
-        .withColumn("pixel_sha256", pixel_sha256(F.col("bytes")))
-        .select("byte_sha256", "pixel_sha256")
-    )
-    return (
-        flagged.select("image_id", "byte_len", "byte_sha256", "_shape_n")
-        .join(decoded, "byte_sha256", "left")
-        .select(
-            "image_id",
-            "byte_len",
-            "byte_sha256",
-            F.when(F.col("_shape_n") > 1, F.col("pixel_sha256"))
-            .otherwise(F.lit(None).cast("binary"))
-            .alias("pixel_sha256"),
-        )
+    return flagged.select(
+        "image_id",
+        "byte_len",
+        "byte_sha256",
+        F.when(F.col("_shape_n") > 1, pixel_sha256(F.col("bytes")))
+        .otherwise(F.lit(None).cast("binary"))
+        .alias("pixel_sha256"),
     )
 
 

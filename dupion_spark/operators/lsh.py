@@ -37,19 +37,15 @@ from dupion_spark.functions.spark_udfs import make_minhash_udf, make_pixel_signa
 def signature_table(images: DataFrame, reps: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Per-representative signatures: rep_id, minhash array, simhash, phash.
 
-    Signatures are computed only for representative rows (one per exact-pixel
-    group) — the join keeps only rep rows, then the pandas UDFs run once per
-    distinct image content."""
-    rep_rows = (
-        images.join(
-            reps.filter(F.col("image_id") == F.col("rep_id")).select("image_id"),
-            "image_id",
-            "left_semi",
-        )
-    )
+    The pandas UDFs run MAP-SIDE over the scan (bytes never shuffle); the
+    representative filter then semi-joins the small post-UDF rows. Computing
+    signatures for every row and discarding non-reps costs decode cycles, but
+    filtering first would shuffle the bytes column corpus-wide — the losing
+    trade (see operators/exact.exact_hash_table). Exact replicas share the
+    rep's signature downstream either way."""
     minhash = make_minhash_udf(cfg)
     pixel_sig = make_pixel_signature_udf(cfg)
-    return rep_rows.select(
+    sigs = images.select(
         F.col("image_id").alias("rep_id"),
         F.col("w"),
         F.col("h"),
@@ -63,6 +59,8 @@ def signature_table(images: DataFrame, reps: DataFrame, cfg: DedupConfig) -> Dat
         F.col("_px.simhash").alias("simhash"),
         F.col("_px.phash").alias("phash"),
     )
+    rep_ids = reps.filter(F.col("image_id") == F.col("rep_id")).select("rep_id")
+    return sigs.join(rep_ids, "rep_id", "left_semi")
 
 
 def _minhash_band_cols(cfg: DedupConfig):

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from dupion_spark.config import DedupConfig
 from dupion_spark.operators import connected_components as cc
 from dupion_spark.operators import election, exact, lsh, rollup, verify
+from dupion_spark.operators import features as features_op
 from dupion_spark.sources.checkpoint import CheckpointManager
 
 
@@ -52,22 +53,33 @@ def run_pipeline(
     cfg: DedupConfig | None = None,
     partition_map: DataFrame | None = None,
     checkpoint_dir: str | None = None,
+    source_path: str | None = None,
 ) -> PipelineResult:
+    """source_path: optional parquet file/dir holding the SAME rows as
+    `images`. When given, per-image feature extraction reads the payloads
+    directly in the Python workers (one task per parquet row group) instead
+    of shipping the binary column through the JVM->Arrow boundary — measured
+    ~60 MB/s aggregate for binary transfer in this environment, so direct
+    storage reads are the scale path (operators/features.py)."""
     cfg = cfg or DedupConfig()
     mgr = CheckpointManager(spark, checkpoint_dir, cfg)
 
-    # three stages scan the input (hashes, signatures, verify payload); cache
-    # it for the run so each scan reads the materialized columnar form.
-    # Equivalent at cluster scale: the input is an Iceberg table (already
-    # materialized) — this persist only matters for derived/ephemeral inputs.
-    images = images.persist()
+    def _features() -> DataFrame:
+        if source_path:
+            return features_op.extract_features_from_files(spark, source_path, cfg)
+        return features_op.features_from_dataframe(images, cfg)
 
-    hashes = mgr.stage("hashes", lambda: exact.exact_hash_table(images, cfg))
+    feats = mgr.stage("features", _features)
+    hashes = mgr.stage(
+        "hashes", lambda: features_op.hashes_from_features(feats), ["features"]
+    )
     groups = mgr.stage("exact_groups", lambda: exact.exact_groups(hashes), ["hashes"])
     reps = mgr.stage("reps", lambda: exact.representatives(hashes), ["hashes"])
 
     sigs = mgr.stage(
-        "signatures", lambda: lsh.signature_table(images, reps, cfg), ["reps"]
+        "signatures",
+        lambda: features_op.signatures_from_features(feats, reps),
+        ["features", "reps"],
     )
     bands = mgr.stage("bands", lambda: lsh.band_table(sigs, cfg), ["signatures"])
     pairs = mgr.stage("pairs", lambda: lsh.candidate_pairs(bands, cfg), ["bands"])
@@ -117,10 +129,6 @@ def run_pipeline(
         "stages": {r.stage: {"rows": r.rows_out, "wall_ms": r.wall_ms, "resumed": r.resumed}
                    for r in mgr.records},
     }
-
-    # all stage outputs are materialized (localCheckpoint or parquet), so the
-    # input cache is no longer referenced by anything we return
-    images.unpersist()
 
     return PipelineResult(
         hashes=hashes,

@@ -34,7 +34,7 @@ VOCAB = (
 SIZES = (16, 32, 64)
 
 # bump when the generation logic changes — invalidates materialized fixtures
-SYNTH_VERSION = 2
+SYNTH_VERSION = 3
 
 
 @dataclass
@@ -276,6 +276,9 @@ def materialize(out_dir: str, n_rows: int, cfg: DedupConfig | None = None) -> Sy
         pq.write_table(
             pa.Table.from_pandas(result.images, schema=schema, preserve_index=False),
             os.path.join(out_dir, "images.parquet"),
+            # small row groups = scan-split granularity for the worker-side
+            # direct-read feature extractor (operators/features.py)
+            row_group_size=512,
         )
         for name in ("golden_clusters", "golden_pairs", "partition_map"):
             pq.write_table(
