@@ -1,15 +1,21 @@
 """Group output with dupion's shadow rules (reference P1).
 
-dupion/src/output/groups.rs:4-56: a duplicate group is printed subject to
-`shadow_rule`:
-  rule 0 — show every group
-  rule 1 — hide groups whose members are ALL shadowed
-  rule 2 — (default) show shadowed members only when the count of
-           non-shadowed members != 1; additionally skip the whole group when
-           hiding shadowed leaves <= 1 visible member
-  rule 3 — never count shadowed members; skip groups with <= 1 visible member
+dupion/src/output/groups.rs:4-56 — per group (after dropping groups with <=1
+members):
 
-Expressed as window counts + conditional filters over the cluster table.
+  hide_shadowed =
+      rule 0: false                  (always show shadowed members)
+      rule 1: n_visible == 0         (hide only in fully-shadowed groups)
+      rule 2: n_visible != 1         (default: shadowed shown ONLY when
+                                      exactly one member is visible)
+      rule 3: true                   (never show shadowed members)
+
+  skip the whole group when hide_shadowed AND n_visible <= 1
+  (groups.rs:38); members printed = visible-only when hiding, all
+  otherwise (groups.rs:44).
+
+Expressed as one group aggregation + conditional filter/projection — the
+same decision table for all four rules.
 """
 
 from __future__ import annotations
@@ -39,28 +45,25 @@ def groups_with_shadow_rule(
     grouped = grouped.filter(F.col("n_members") > 1)
 
     if rule == 0:
-        out = grouped.withColumn("members", F.col("all_members"))
+        hide = F.lit(False)
     elif rule == 1:
-        out = grouped.filter(F.col("n_visible") > 0).withColumn(
-            "members", F.col("all_members")
-        )
+        hide = F.col("n_visible") == 0
     elif rule == 2:
-        # show shadowed members only when n_visible != 1; skip groups where
-        # hiding shadowed leaves <=1 visible member
-        out = grouped.filter(
-            (F.col("n_visible") != 1) | (F.col("n_members") > 1)
-        ).withColumn(
-            "members",
-            F.when(F.col("n_visible") != 1, F.col("all_members")).otherwise(
-                F.col("visible_members")
-            ),
-        ).filter(F.size("members") > 1)
+        hide = F.col("n_visible") != 1
     elif rule == 3:
-        out = grouped.filter(F.col("n_visible") > 1).withColumn(
-            "members", F.col("visible_members")
-        )
+        hide = F.lit(True)
     else:
         raise ValueError(f"shadow rule must be 0-3, got {rule}")
+    out = (
+        grouped.withColumn("_hide", hide)
+        .filter(~(F.col("_hide") & (F.col("n_visible") <= 1)))
+        .withColumn(
+            "members",
+            F.when(F.col("_hide"), F.col("visible_members")).otherwise(
+                F.col("all_members")
+            ),
+        )
+    )
     return out.select(
         "cluster_root", "n_members", "n_shadowed", "n_visible", "members"
     )

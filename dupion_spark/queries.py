@@ -102,7 +102,7 @@ def q_a2_hash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_A2 = """
 SELECT md5(text) AS text_hash, count(*) AS n_members,
-       min(doc_id) AS min_doc, sum(n_chars) AS total_chars
+       min(doc_id) AS min_doc, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY md5(text)
 """
 
@@ -296,11 +296,14 @@ FROM a FULL OUTER JOIN b ON a.rel_key = b.rel_key
 def q_j3_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 shadow propagation (process/mod.rs:110-136): a doc is shadowed iff
     its container (source) holds at least one duplicated text — semi-join of
-    members against duplicated-container set."""
+    members against duplicated-container set. Duplication keyed on the
+    colliding 16-char-prefix hash (see q_dedup_exact_docs) so the shadowed
+    flag is non-trivially true on the fixture."""
     (docs,) = _tables(spark, sf_dir, "documents")
-    dup_texts = docs.groupBy(F.md5("text").alias("h")).count().filter("count > 1")
+    key = F.md5(F.substring("text", 1, 16))
+    dup_texts = docs.groupBy(key.alias("h")).count().filter("count > 1")
     dup_sources = (
-        docs.withColumn("h", F.md5("text"))
+        docs.withColumn("h", key)
         .join(dup_texts.select("h"), "h", "left_semi")
         .select("source")
         .distinct()
@@ -317,46 +320,74 @@ SQL_J3 = """
 SELECT d.doc_id,
        d.source IN (
          SELECT DISTINCT source FROM documents
-         WHERE md5(text) IN (SELECT md5(text) FROM documents
-                             GROUP BY md5(text) HAVING count(*) > 1)
+         WHERE md5(substr(text, 1, 16)) IN (
+             SELECT md5(substr(text, 1, 16)) FROM documents
+             GROUP BY md5(substr(text, 1, 16)) HAVING count(*) > 1)
        ) AS shadowed
 FROM documents d
 """
 
 
-def q_p1_shadow_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1 groups printer shadow rule 3 (output/groups.rs:4-56): drop shadowed
-    members entirely, keep groups with >1 visible member."""
-    (docs,) = _tables(spark, sf_dir, "documents")
-    shadows = q_j3_shadow(spark, sf_dir)
-    joined = docs.withColumn("text_hash", F.md5("text")).join(shadows, "doc_id")
-    grouped = joined.groupBy("text_hash").agg(
-        F.count(F.lit(1)).alias("n_members"),
-        F.sum(F.col("shadowed").cast("int")).alias("n_shadowed"),
-    )
-    return (
-        grouped.withColumn("n_visible", F.col("n_members") - F.col("n_shadowed"))
-        .filter(F.col("n_visible") > 1)
-        .select("text_hash", "n_members", "n_shadowed", "n_visible")
-    )
+def _p1_rule_query(rule: int):
+    """P1 shadow rules 0-3 (output/groups.rs:4-56), driver-checked against
+    the REAL operator (operators/groups.groups_with_shadow_rule). Groups are
+    keyed on n_chars — which genuinely collides in the documents table (137
+    multi-member groups at sf0.01) — and the shadow flag is a deterministic
+    content-derived predicate (doc_id % 3 == 0) both engines compute
+    identically, so every rule branch is exercised on non-empty input."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from dupion_spark.operators.groups import groups_with_shadow_rule
+
+        (docs,) = _tables(spark, sf_dir, "documents")
+        clusters = docs.select(
+            F.col("doc_id").cast("string").alias("image_id"),
+            F.col("n_chars").cast("long").alias("cluster_root"),
+        )
+        shadows = docs.select(
+            F.col("doc_id").cast("string").alias("image_id"),
+            (F.col("doc_id") % 3 == 0).alias("shadowed"),
+        )
+        out = groups_with_shadow_rule(clusters, shadows, rule=rule)
+        return out.select(
+            F.col("cluster_root").alias("n_chars"),
+            "n_members",
+            "n_shadowed",
+            "n_visible",
+            F.array_join("members", ",").alias("members"),
+        )
+
+    return q
 
 
-SQL_P1 = """
-WITH shadows AS (
-  SELECT d.doc_id, md5(d.text) AS text_hash,
-         d.source IN (
-           SELECT DISTINCT source FROM documents
-           WHERE md5(text) IN (SELECT md5(text) FROM documents
-                               GROUP BY md5(text) HAVING count(*) > 1)
-         ) AS shadowed
-  FROM documents d
+def _sql_p1_rule(hide_expr: str) -> str:
+    return f"""
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS member_id, n_chars,
+         (doc_id % 3 = 0) AS shadowed
+  FROM documents
+), g AS (
+  SELECT n_chars,
+         count(*) AS n_members,
+         CAST(sum(CASE WHEN shadowed THEN 1 ELSE 0 END) AS BIGINT) AS n_shadowed,
+         count(*) - CAST(sum(CASE WHEN shadowed THEN 1 ELSE 0 END) AS BIGINT) AS n_visible,
+         array_to_string(list_sort(list(member_id)), ',') AS all_members,
+         array_to_string(list_sort(list(member_id) FILTER (WHERE NOT shadowed)), ',')
+             AS visible_members
+  FROM m GROUP BY n_chars HAVING count(*) > 1
 )
-SELECT text_hash, count(*) AS n_members,
-       sum(CASE WHEN shadowed THEN 1 ELSE 0 END) AS n_shadowed,
-       count(*) - sum(CASE WHEN shadowed THEN 1 ELSE 0 END) AS n_visible
-FROM shadows GROUP BY text_hash
-HAVING count(*) - sum(CASE WHEN shadowed THEN 1 ELSE 0 END) > 1
+SELECT n_chars, n_members, n_shadowed, n_visible,
+       CASE WHEN {hide_expr} THEN visible_members ELSE all_members END AS members
+FROM g WHERE NOT (({hide_expr}) AND n_visible <= 1)
 """
+
+
+SQL_P1_RULES = {
+    0: _sql_p1_rule("FALSE"),
+    1: _sql_p1_rule("n_visible = 0"),
+    2: _sql_p1_rule("n_visible <> 1"),
+    3: _sql_p1_rule("TRUE"),
+}
 
 
 # ===========================================================================
@@ -364,14 +395,18 @@ HAVING count(*) - sum(CASE WHEN shadowed THEN 1 ELSE 0 END) > 1
 # language-ID, quality score, token count, fingerprint
 # ===========================================================================
 def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: per-doc cluster assignment = min doc_id of its text group."""
+    """Exact dedup: per-doc cluster assignment = min doc_id of its content
+    group. Keyed on md5 of the 16-char text prefix — a content-derived hash
+    that actually COLLIDES on the fixture (25+ multi-member groups), so the
+    multi-member window path is driver-exercised; a real corpus uses
+    md5(text) (byte-identical key, same plan shape)."""
     (docs,) = _tables(spark, sf_dir, "documents")
-    win = Window.partitionBy(F.md5("text"))
+    win = Window.partitionBy(F.md5(F.substring("text", 1, 16)))
     return docs.select("doc_id", F.min("doc_id").over(win).alias("cluster_id"))
 
 
 SQL_DEDUP_EXACT = """
-SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id
+SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(substr(text, 1, 16))) AS cluster_id
 FROM documents
 """
 
@@ -703,9 +738,11 @@ GROUP BY l_returnflag, l_linestatus
 def q_m1_dedup_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1/M4 dedup planning, simulate mode (dedup/mod.rs:14-112,
     dedup/btrfs.rs:137-159): per duplicate group, elect the keeper (min id),
-    list the dups, report reclaimable bytes — the plan table, no mutation."""
+    list the dups, report reclaimable bytes — the plan table, no mutation.
+    Keyed on the colliding 16-char-prefix hash (see q_dedup_exact_docs) so
+    the plan is non-empty on the fixture."""
     (docs,) = _tables(spark, sf_dir, "documents")
-    hashed = docs.withColumn("text_hash", F.md5("text"))
+    hashed = docs.withColumn("text_hash", F.md5(F.substring("text", 1, 16)))
     win = Window.partitionBy("text_hash")
     return (
         hashed.withColumn("senpai", F.min("doc_id").over(win))
@@ -715,21 +752,23 @@ def q_m1_dedup_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_dups"),
             F.sum("n_chars").alias("bytes_reclaimable"),
-            F.sort_array(F.collect_list("doc_id")).alias("dup_ids"),
+            # list columns break the driver's pandas canonicalization
+            # (unhashable) — emit the member list as a joined string
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("dup_ids"),
         )
     )
 
 
 SQL_M1_DEDUP_PLAN = """
 WITH h AS (
-  SELECT doc_id, n_chars, md5(text) AS text_hash,
-         min(doc_id) OVER (PARTITION BY md5(text)) AS senpai,
-         count(*) OVER (PARTITION BY md5(text)) AS n_members
+  SELECT doc_id, n_chars, md5(substr(text, 1, 16)) AS text_hash,
+         min(doc_id) OVER (PARTITION BY md5(substr(text, 1, 16))) AS senpai,
+         count(*) OVER (PARTITION BY md5(substr(text, 1, 16))) AS n_members
   FROM documents
 )
 SELECT text_hash, senpai, count(*) AS n_dups,
-       sum(n_chars) AS bytes_reclaimable,
-       list_sort(list(doc_id)) AS dup_ids
+       CAST(sum(n_chars) AS BIGINT) AS bytes_reclaimable,
+       array_to_string(list_sort(list(doc_id)), ',') AS dup_ids
 FROM h WHERE n_members > 1 AND doc_id != senpai
 GROUP BY text_hash, senpai
 """
@@ -743,7 +782,10 @@ def q_o4_preview_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
-            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 4).alias("preview"),
+            # joined string, not an array — see m1_dedup_plan
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 4), ","
+            ).alias("preview"),
         )
         .filter(F.col("n_members") > 1)
     )
@@ -751,7 +793,7 @@ def q_o4_preview_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_O4_PREVIEW = """
 SELECT source, count(*) AS n_members,
-       list_sort(list(doc_id))[1:4] AS preview
+       array_to_string(list_sort(list(doc_id))[1:4], ',') AS preview
 FROM documents GROUP BY source HAVING count(*) > 1
 """
 
@@ -896,7 +938,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o2_export_order": q_o2_export_order,
         "j2_treediff": q_j2_treediff,
         "j3_shadow": q_j3_shadow,
-        "p1_shadow_rule": q_p1_shadow_rule,
+        "p1_rule0": _p1_rule_query(0),
+        "p1_rule1": _p1_rule_query(1),
+        "p1_rule2": _p1_rule_query(2),
+        "p1_rule3": _p1_rule_query(3),
         "dedup_exact_docs": q_dedup_exact_docs,
         "dedup_minhash_docs": q_dedup_minhash_docs,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -925,7 +970,10 @@ def oracle_sql() -> dict[str, str]:
         "o2_export_order": SQL_O2,
         "j2_treediff": SQL_J2,
         "j3_shadow": SQL_J3,
-        "p1_shadow_rule": SQL_P1,
+        "p1_rule0": SQL_P1_RULES[0],
+        "p1_rule1": SQL_P1_RULES[1],
+        "p1_rule2": SQL_P1_RULES[2],
+        "p1_rule3": SQL_P1_RULES[3],
         "dedup_exact_docs": SQL_DEDUP_EXACT,
         "dedup_minhash_docs": SQL_DEDUP_MINHASH,
         "dedup_minhash_pairs": SQL_DEDUP_MINHASH_PAIRS,
