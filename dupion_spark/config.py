@@ -60,8 +60,10 @@ class DedupConfig:
     salt_buckets: int = 16        # salted repartition fan-out for hot band keys
 
     # --- connected components ------------------------------------------------
+    # every CC round is checkpointed unconditionally: each star embeds its
+    # input plan ~3x, so anything less truncates too late and Catalyst
+    # re-optimization explodes (operators/connected_components.py docstring)
     cc_max_iterations: int = 25
-    cc_checkpoint_every: int = 3  # cut lineage every N iterations
 
     # --- election (senpai) ordering, dupion/src/dedup/mod.rs:60-79 -----------
     # argmin by (n_extents ASC, phys_occurrences DESC, ctime ASC, |phys-avg| ASC)

@@ -83,15 +83,22 @@ def make_pixel_signature_udf(cfg: DedupConfig):
     return pixel_signature
 
 
-def _lcs_length(a: str, b: str) -> int:
-    """Longest common substring length via sorted suffixes + Kasai-style LCP.
+LCS_MAX_CHARS = 4096
 
-    Suffix-array formulation (north_rule): sort all suffixes of both strings,
-    then the LCS is the max common prefix of adjacent suffixes from different
-    strings. O((n+m) log(n+m)) comparisons — captions are short, batches are
-    vectorized at the Arrow layer."""
+
+def _lcs_length(a: str, b: str) -> int:
+    """Longest common substring length via sorted suffixes + LCP of adjacent
+    suffixes from different strings.
+
+    The implementation materializes the suffixes as Python strings, which is
+    O(n^2) memory in the input length — fine for captions, catastrophic for
+    arbitrary documents — so inputs are truncated to LCS_MAX_CHARS first
+    (a single 100 KB caption pair would otherwise allocate ~10 GB per
+    comparison in an executor). Within the cap the sort does
+    O((n+m) log(n+m)) suffix comparisons."""
     if not a or not b:
         return 0
+    a, b = a[:LCS_MAX_CHARS], b[:LCS_MAX_CHARS]
     suffixes = [(a[i:], 0) for i in range(len(a))] + [(b[j:], 1) for j in range(len(b))]
     suffixes.sort(key=lambda t: t[0])
     best = 0

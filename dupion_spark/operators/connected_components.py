@@ -87,7 +87,6 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 25,
-    checkpoint_every: int = 1,  # kept for API compat; every round checkpoints
 ) -> DataFrame:
     """edges(id_l, id_r) -> assignments(image_id, cluster_root).
 

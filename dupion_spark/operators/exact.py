@@ -25,7 +25,7 @@ Scale notes (100 TB / 10^12 rows):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dupion_spark.config import DedupConfig
@@ -95,15 +95,30 @@ def exact_groups(hashes: DataFrame) -> DataFrame:
     )
 
 
+def _group_roots(hashes: DataFrame) -> DataFrame:
+    """pixel_sha256 -> (_root = min member id, _n = member count).
+
+    groupBy-agg, NOT a window: a window over pixel_sha256 full-sorts each
+    group in ONE task, so a 10^6-replica mega-group serializes on a single
+    core. The aggregate runs combiner-style (map-side partial min/count) and
+    the join back is AQE-skew-splittable — the skew-immune shape
+    connected_components already uses (its docstring says why)."""
+    return (
+        hashes.filter(F.col("pixel_sha256").isNotNull())
+        .groupBy("pixel_sha256")
+        .agg(F.min("image_id").alias("_root"), F.count(F.lit(1)).alias("_n"))
+    )
+
+
 def exact_edges(hashes: DataFrame) -> DataFrame:
     """Star edges (member -> group-min member) per exact-pixel group.
 
     Linear in group size (NOT all-pairs) — a 10^6-replica mega-group emits
     10^6 edges, not 10^12; connectivity for CC is preserved by the star."""
-    win = Window.partitionBy("pixel_sha256")
+    roots = _group_roots(hashes).filter(F.col("_n") > 1).drop("_n")
     return (
         hashes.filter(F.col("pixel_sha256").isNotNull())
-        .withColumn("_root", F.min("image_id").over(win))
+        .join(roots, "pixel_sha256")
         .filter(F.col("image_id") != F.col("_root"))
         .select(
             F.col("_root").alias("id_l"),
@@ -118,13 +133,14 @@ def representatives(hashes: DataFrame) -> DataFrame:
     before LSH banding (signatures of identical pixels are identical, so the
     collapsed graph has the same connected components). This is the first
     skew weapon: an exact mega-group becomes ONE LSH node."""
-    win = Window.partitionBy("pixel_sha256")
+    roots = _group_roots(hashes).drop("_n")
     hashed = (
         hashes.filter(F.col("pixel_sha256").isNotNull())
-        .select("image_id", F.min("image_id").over(win).alias("rep_id"))
+        .join(roots, "pixel_sha256")
+        .select("image_id", F.col("_root").alias("rep_id"))
     )
     # pruned rows (null hash) are their own representative; keep them OUT of
-    # the window — otherwise every pruned row lands in one null-key partition
+    # the join — otherwise every pruned row lands in one null-key partition
     # (a self-inflicted skew hotspot at 10^12 rows)
     pruned = hashes.filter(F.col("pixel_sha256").isNull()).select(
         "image_id", F.col("image_id").alias("rep_id")

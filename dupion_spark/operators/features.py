@@ -96,11 +96,26 @@ def extract_features_from_files(
     if not files:
         raise ValueError(f"no parquet files under {source_path}")
     # one task per (file, row_group): row groups are the scan-split unit,
-    # exactly like Iceberg/Parquet file-scan task planning
-    splits = []
-    for path in files:
-        for rg in range(pq.ParquetFile(path).num_row_groups):
-            splits.append((path, rg))
+    # exactly like Iceberg/Parquet file-scan task planning. Footer reads are
+    # DISTRIBUTED — at 10^6 files, opening every footer on the driver
+    # serializes split planning on one node (Iceberg sidesteps this entirely:
+    # manifests carry the split list; this path is the raw-parquet fallback).
+    files_df = spark.createDataFrame([(f,) for f in files], "file string")
+    files_df = files_df.repartition(min(len(files), 256))
+
+    def footer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "file": pdf["file"],
+                    "n_rg": [pq.ParquetFile(f).num_row_groups for f in pdf["file"]],
+                }
+            )
+
+    counts = files_df.mapInPandas(
+        footer, "file string, n_rg int"
+    ).collect()  # one tiny row per FILE (not per image) comes back
+    splits = [(row["file"], rg) for row in counts for rg in range(row["n_rg"])]
     split_df = spark.createDataFrame(
         splits, "file string, row_group int"
     ).repartition(len(splits))

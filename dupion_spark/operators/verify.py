@@ -55,14 +55,17 @@ def verified_edges(pairs: DataFrame, images: DataFrame, cfg: DedupConfig) -> Dat
     payload = images.select("image_id", "bytes", "caption")
     # prune the payload to ids that appear in any pair before joining — at
     # 10^12 rows this keeps the shuffled image slice proportional to the
-    # candidate set, not the corpus. The id set is small -> broadcast semi-join
-    # (no corpus shuffle); the payload is then MATERIALIZED once, because the
-    # plan below references it twice (left and right side) and re-executing
-    # the semi-join scan twice doubles the corpus reads.
+    # candidate set, not the corpus. NO forced broadcast: the id set is all
+    # endpoints of all candidate pairs, which at corpus scale can be billions
+    # of rows — a broadcast hint would OOM the driver. AQE converts the
+    # semi-join to broadcast automatically whenever the set IS small. The
+    # payload is then MATERIALIZED once, because the plan below references it
+    # twice (left and right side) and re-executing the semi-join scan twice
+    # doubles the corpus reads.
     ids = pairs.select(F.col("id_l").alias("image_id")).unionByName(
         pairs.select(F.col("id_r").alias("image_id"))
     ).distinct()
-    payload = payload.join(F.broadcast(ids), "image_id", "left_semi")
+    payload = payload.join(ids, "image_id", "left_semi")
     payload = payload.localCheckpoint(eager=False)
 
     left = payload.select(

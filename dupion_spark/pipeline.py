@@ -30,7 +30,11 @@ from dupion_spark.config import DedupConfig
 from dupion_spark.operators import connected_components as cc
 from dupion_spark.operators import election, exact, lsh, rollup, verify
 from dupion_spark.operators import features as features_op
-from dupion_spark.sources.checkpoint import CheckpointManager
+from dupion_spark.sources.checkpoint import (
+    CheckpointManager,
+    fingerprint_files,
+    partition_lineage,
+)
 
 
 @dataclass
@@ -62,7 +66,22 @@ def run_pipeline(
     ~60 MB/s aggregate for binary transfer in this environment, so direct
     storage reads are the scale path (operators/features.py)."""
     cfg = cfg or DedupConfig()
-    mgr = CheckpointManager(spark, checkpoint_dir, cfg)
+    # root-stage input fingerprint: a resumed run over changed input data must
+    # NOT reuse checkpointed stages (dupion's (ctime,size) validation, F5).
+    # File-backed inputs fingerprint by (name, size, mtime); DataFrame inputs
+    # by a one-pass count + order-insensitive id hash over the key column only
+    # (computed only when checkpointing is on — no manifests, no fingerprint).
+    input_fp = ""
+    if checkpoint_dir:
+        if source_path:
+            input_fp = fingerprint_files(source_path)
+        else:
+            row = images.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.bit_xor(F.xxhash64("image_id")), F.lit(0)).alias("h"),
+            ).collect()[0]
+            input_fp = f"df:{row['n']}:{row['h']}"
+    mgr = CheckpointManager(spark, checkpoint_dir, cfg, input_fingerprint=input_fp)
 
     def _features() -> DataFrame:
         if source_path:
@@ -96,9 +115,7 @@ def run_pipeline(
 
     def _cluster() -> DataFrame:
         near = edges.filter(F.col("passed")).select("id_l", "id_r")
-        rep_assign = cc.connected_components(
-            near, cfg.cc_max_iterations, cfg.cc_checkpoint_every
-        )
+        rep_assign = cc.connected_components(near, cfg.cc_max_iterations)
         rep_assign = cc.attach_singletons(
             rep_assign, reps.select(F.col("rep_id").alias("image_id")).distinct()
         )
@@ -110,6 +127,7 @@ def run_pipeline(
     )
 
     roll = shadows = None
+    lineage = mgr.lineage_df()
     if partition_map is not None:
         roll = mgr.stage(
             "rollup", lambda: rollup.rollup_table(hashes, partition_map), ["hashes"]
@@ -118,6 +136,21 @@ def run_pipeline(
         shadows = mgr.stage(
             "shadows", lambda: rollup.shadowed_images(partition_map, dup_parts), ["rollup"]
         )
+        # per-partition lineage rows (north_rule): input row counts and
+        # cluster-assignment counts per part_key, unioned under the
+        # stage-level manifest records
+        plin = partition_lineage(partition_map, "images").unionByName(
+            partition_lineage(clusters.join(partition_map, "image_id"), "clusters")
+        )
+        plin = plin.select(
+            "stage",
+            "part_key",
+            "rows_out",
+            F.lit(None).cast("long").alias("wall_ms"),
+            F.lit(False).alias("resumed"),
+            F.lit("").alias("manifest_hash"),
+        )
+        lineage = lineage.unionByName(plin)
 
     # metrics: stage-1 prune ratio (BASELINE.md qualitative metric) + stage rows
     n_images = images.count()
@@ -139,7 +172,7 @@ def run_pipeline(
         candidate_pairs=pairs,
         rollup=roll,
         shadows=shadows,
-        lineage=mgr.lineage_df(),
+        lineage=lineage,
         metrics=metrics,
     )
 

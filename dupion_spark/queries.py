@@ -461,10 +461,16 @@ SQL_DEDUP_MINHASH = (
 )
 
 
-def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding + candidate pairs on the doc signatures: band key = md5 of
-    the comma-joined band slice; self-join per (band, key); distinct pairs."""
-    sig = q_dedup_minhash_docs(spark, sf_dir)
+# hot-band cap for the doc LSH self-join: buckets above this size emit a
+# linear STAR (member -> bucket-min) instead of quadratic all-pairs —
+# identical connectivity for clustering, bounded blow-up on boilerplate text
+# (same design as the image path, operators/lsh.candidate_pairs). Mirrored
+# literally in the oracle SQL so both engines compute identical pair sets.
+DOC_MAX_BAND_BUCKET = 16
+
+
+def _doc_pairs(sig: DataFrame) -> DataFrame:
+    """Banding + capped candidate-pair generation over the signature table."""
     band_structs = []
     for band in range(DOC_BANDS):
         cols = [F.col(f"h{band * DOC_ROWS + r}").cast("string") for r in range(DOC_ROWS)]
@@ -474,14 +480,37 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key")
     )
-    left = bands.select("band", "key", F.col("doc_id").alias("id_l"))
-    right = bands.select("band", "key", F.col("doc_id").alias("id_r"))
-    return (
+    counts = bands.groupBy("band", "key").agg(
+        F.count(F.lit(1)).alias("_n"), F.min("doc_id").alias("_hub")
+    )
+    sized = bands.join(counts, ["band", "key"])
+    small = sized.filter(F.col("_n") <= DOC_MAX_BAND_BUCKET)
+    left = small.select("band", "key", F.col("doc_id").alias("id_l"))
+    right = small.select("band", "key", F.col("doc_id").alias("id_r"))
+    small_pairs = (
         left.join(right, ["band", "key"])
         .filter(F.col("id_l") < F.col("id_r"))
         .select("id_l", "id_r")
-        .distinct()
     )
+    big_pairs = (
+        sized.filter(F.col("_n") > DOC_MAX_BAND_BUCKET)
+        .filter(F.col("doc_id") != F.col("_hub"))
+        .select(F.col("_hub").alias("id_l"), F.col("doc_id").alias("id_r"))
+    )
+    return small_pairs.unionByName(big_pairs).distinct()
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding + candidate pairs on the doc signatures: band key = md5 of
+    the comma-joined band slice; bucketed self-join per (band, key) with the
+    hot-bucket star cap; distinct pairs.
+
+    The signature table is MATERIALIZED (lazy localCheckpoint) before the
+    self-join references it twice — without it Spark re-executes the
+    shingle-explode + min-agg subtree once per reference, the measured
+    scale-killer of the text path."""
+    sig = q_dedup_minhash_docs(spark, sf_dir).localCheckpoint(eager=False)
+    return _doc_pairs(sig)
 
 
 def _sql_band_key(band: int) -> str:
@@ -491,32 +520,69 @@ def _sql_band_key(band: int) -> str:
     return f"md5({cols})"
 
 
+def _sql_sig_ctes() -> str:
+    """shingles + sig CTEs shared by the signature-derived oracle queries."""
+    return (
+        "WITH shingles AS (" + _sql_shingles() + "),\n"
+        "sig AS (SELECT doc_id,\n"
+        + ",\n".join(
+            f"  min((({H60_SQL.format(x='shingle')} % {M31}) * {a} + {b}) % {M31}) AS h{i}"
+            for i, (a, b) in enumerate(DOC_MINHASH)
+        )
+        + "\nFROM shingles GROUP BY doc_id)"
+    )
+
+
+def _sql_pairs_ctes() -> str:
+    """bands + counts + pairs CTEs mirroring _doc_pairs (incl. the star cap)."""
+    return (
+        "bands AS (\n"
+        + "\nUNION ALL\n".join(
+            f"  SELECT doc_id, {band} AS band, {_sql_band_key(band)} AS key FROM sig"
+            for band in range(DOC_BANDS)
+        )
+        + "),\n"
+        "bcounts AS (SELECT band, key, count(*) AS n, min(doc_id) AS hub\n"
+        "            FROM bands GROUP BY band, key),\n"
+        "pairs AS (SELECT DISTINCT id_l, id_r FROM (\n"
+        "  SELECT a.doc_id AS id_l, b.doc_id AS id_r\n"
+        "  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key\n"
+        "               JOIN bcounts c ON a.band = c.band AND a.key = c.key\n"
+        f"  WHERE c.n <= {DOC_MAX_BAND_BUCKET} AND a.doc_id < b.doc_id\n"
+        "  UNION ALL\n"
+        "  SELECT c.hub AS id_l, a.doc_id AS id_r\n"
+        "  FROM bands a JOIN bcounts c ON a.band = c.band AND a.key = c.key\n"
+        f"  WHERE c.n > {DOC_MAX_BAND_BUCKET} AND a.doc_id <> c.hub\n"
+        "))"
+    )
+
+
 SQL_DEDUP_MINHASH_PAIRS = (
-    "WITH shingles AS (" + _sql_shingles() + "),\n"
-    "sig AS (SELECT doc_id,\n"
-    + ",\n".join(
-        f"  min((({H60_SQL.format(x='shingle')} % {M31}) * {a} + {b}) % {M31}) AS h{i}"
-        for i, (a, b) in enumerate(DOC_MINHASH)
-    )
-    + "\nFROM shingles GROUP BY doc_id),\n"
-    "bands AS (\n"
-    + "\nUNION ALL\n".join(
-        f"  SELECT doc_id, {band} AS band, {_sql_band_key(band)} AS key FROM sig"
-        for band in range(DOC_BANDS)
-    )
-    + ")\n"
-    "SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r\n"
-    "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key\n"
-    "WHERE a.doc_id < b.doc_id"
+    _sql_sig_ctes() + ",\n" + _sql_pairs_ctes() + "\n"
+    "SELECT id_l, id_r FROM pairs"
 )
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard for LSH candidate pairs: |A∩B| / |A∪B| over the
-    distinct shingle sets, rounded to 6 decimals."""
+    distinct shingle sets, rounded to 6 decimals.
+
+    Shared subplans are MATERIALIZED once: the shingle table feeds the
+    signature chain AND both sides of the intersection join, and the pair
+    table is referenced per side — lazy localCheckpoints stop Spark from
+    re-executing the explode/min-agg subtree 3x (the round-1 plan audit's
+    top text-path scale-killer)."""
     (docs,) = _tables(spark, sf_dir, "documents")
-    pairs = q_dedup_minhash_pairs(spark, sf_dir)
-    sh = _doc_shingles(docs)
+    sh = _doc_shingles(docs).localCheckpoint(eager=False)
+    sig = (
+        sh.withColumn("base", _h60(F.col("shingle")) % M31)
+        .groupBy("doc_id")
+        .agg(*[
+            F.min((F.col("base") * a + b) % M31).alias(f"h{i}")
+            for i, (a, b) in enumerate(DOC_MINHASH)
+        ])
+    )
+    pairs = _doc_pairs(sig.localCheckpoint(eager=False)).localCheckpoint(eager=False)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh_l = sh.select(F.col("doc_id").alias("id_l"), "shingle")
     sh_r = sh.select(F.col("doc_id").alias("id_r"), "shingle")
@@ -539,22 +605,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_NGRAM_JACCARD = (
-    "WITH shingles AS (" + _sql_shingles() + "),\n"
-    "sig AS (SELECT doc_id,\n"
-    + ",\n".join(
-        f"  min((({H60_SQL.format(x='shingle')} % {M31}) * {a} + {b}) % {M31}) AS h{i}"
-        for i, (a, b) in enumerate(DOC_MINHASH)
-    )
-    + "\nFROM shingles GROUP BY doc_id),\n"
-    "bands AS (\n"
-    + "\nUNION ALL\n".join(
-        f"  SELECT doc_id, {band} AS band, {_sql_band_key(band)} AS key FROM sig"
-        for band in range(DOC_BANDS)
-    )
-    + "),\n"
-    "pairs AS (SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r\n"
-    "          FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key\n"
-    "          WHERE a.doc_id < b.doc_id),\n"
+    _sql_sig_ctes() + ",\n" + _sql_pairs_ctes() + ",\n"
     "counts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),\n"
     "shared AS (SELECT p.id_l, p.id_r, count(*) AS n_inter\n"
     "           FROM pairs p JOIN shingles sl ON sl.doc_id = p.id_l\n"
@@ -799,6 +850,177 @@ FROM documents GROUP BY source HAVING count(*) > 1
 
 
 # ===========================================================================
+# O3/P2 — tree-child sort + tree export (output/tree.rs:26-151)
+# ===========================================================================
+def _tree_children(docs: DataFrame) -> DataFrame:
+    """Tree child nodes over the documents table: parent = source (the 'dir'),
+    child = doc. Mirrors the reference's per-child tuple (tree.rs:53-68):
+    dups = occurrence count of the child's content hash (clamped to [1,2] for
+    the sort, tree.rs:68), size = n_chars, icon 'F' prio 2 (plain file), name
+    = doc_id. Content hash = the colliding 16-char-prefix hash (see
+    q_dedup_exact_docs)."""
+    key = F.md5(F.substring("text", 1, 16))
+    hashed = docs.select("doc_id", "source", "n_chars", key.alias("h"))
+    counts = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("dups"))
+    return (
+        hashed.join(counts, "h")
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            "h",
+            F.least(F.greatest(F.col("dups"), F.lit(1)), F.lit(2)).alias("dups_clamped"),
+            (F.col("dups") > 1).alias("is_dup"),
+        )
+    )
+
+
+def q_o3_tree_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 tree-child sort (tree.rs:68): children ranked within their parent by
+    (icon_prio ASC, clamped-dup-count DESC, size DESC) with the child name as
+    the deterministic final tiebreak. All children here are files (prio 2), so
+    the exercised keys are the dup-clamp and size legs."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    ch = _tree_children(docs)
+    win = Window.partitionBy("source").orderBy(
+        F.col("dups_clamped").desc(), F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return ch.withColumn("child_rank", F.row_number().over(win)).select(
+        "source", "doc_id", "dups_clamped", "n_chars", "child_rank"
+    )
+
+
+SQL_O3_TREE_SORT = """
+WITH counts AS (
+  SELECT md5(substr(text, 1, 16)) AS h, count(*) AS dups
+  FROM documents GROUP BY 1
+), ch AS (
+  SELECT d.source, d.doc_id, d.n_chars,
+         least(greatest(c.dups, 1), 2) AS dups_clamped
+  FROM documents d JOIN counts c ON md5(substr(d.text, 1, 16)) = c.h
+)
+SELECT source, doc_id, dups_clamped, n_chars,
+       row_number() OVER (PARTITION BY source
+         ORDER BY dups_clamped DESC, n_chars DESC, doc_id ASC) AS child_rank
+FROM ch
+"""
+
+
+def q_p2_tree_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 JSON tree printer (tree.rs:26-151): per parent, the serialized
+    ordered child list. Each child renders as the reference ident
+    'DUPS|UNIQ <icon> <name> <size>' (tree.rs:76,85); DUPS children expand to
+    the first 4 group members (tree.rs:103-105, the O4 preview). Emitted as a
+    deterministic string per parent so both engines compare byte-identical
+    serializations."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    ch = _tree_children(docs)
+    # <=4-member preview per duplicate group, sorted ids (O4)
+    previews = (
+        ch.groupBy("h")
+        .agg(
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 4), ";"
+            ).alias("preview")
+        )
+    )
+    labeled = ch.join(previews, "h").select(
+        "source",
+        "doc_id",
+        "n_chars",
+        "dups_clamped",
+        F.concat(
+            F.when(F.col("is_dup"), F.lit("DUPS")).otherwise(F.lit("UNIQ")),
+            F.lit(" F "),
+            F.col("doc_id").cast("string"),
+            F.lit(" "),
+            F.col("n_chars").cast("string"),
+            F.when(F.col("is_dup"), F.concat(F.lit(" ["), F.col("preview"), F.lit("]")))
+            .otherwise(F.lit("")),
+        ).alias("label"),
+    )
+    win = Window.partitionBy("source").orderBy(
+        F.col("dups_clamped").desc(), F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    ranked = labeled.withColumn("rank", F.row_number().over(win))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_children"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("rank"), F.col("label")))
+                    ),
+                    lambda s: s["label"],
+                ),
+                ",",
+            ).alias("tree"),
+        )
+    )
+
+
+SQL_P2_TREE_EXPORT = """
+WITH counts AS (
+  SELECT md5(substr(text, 1, 16)) AS h, count(*) AS dups
+  FROM documents GROUP BY 1
+), ch AS (
+  SELECT d.source, d.doc_id, d.n_chars, c.h,
+         least(greatest(c.dups, 1), 2) AS dups_clamped,
+         c.dups > 1 AS is_dup
+  FROM documents d JOIN counts c ON md5(substr(d.text, 1, 16)) = c.h
+), previews AS (
+  SELECT h, array_to_string(list_sort(list(doc_id))[1:4], ';') AS preview
+  FROM ch GROUP BY h
+), labeled AS (
+  SELECT ch.source, ch.doc_id, ch.n_chars, ch.dups_clamped,
+         (CASE WHEN ch.is_dup THEN 'DUPS' ELSE 'UNIQ' END)
+         || ' F ' || CAST(ch.doc_id AS VARCHAR) || ' ' || CAST(ch.n_chars AS VARCHAR)
+         || (CASE WHEN ch.is_dup THEN ' [' || p.preview || ']' ELSE '' END) AS label
+  FROM ch JOIN previews p ON ch.h = p.h
+)
+SELECT source, count(*) AS n_children,
+       string_agg(label, ',' ORDER BY dups_clamped DESC, n_chars DESC, doc_id ASC) AS tree
+FROM labeled GROUP BY source
+"""
+
+
+# ===========================================================================
+# M3 — dedup action (apply the plan: keep senpai rows, drop dups)
+# ===========================================================================
+def q_m3_apply_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 dedup action (dedup/btrfs.rs:123-364 grafted per SURVEY §2.7: the
+    physical ioctl becomes applying the canonical map — an anti-join DELETE of
+    non-canonical rows). Emits the surviving table (senpai per duplicate
+    group + all singletons) with the per-row disposition."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    hashed = docs.withColumn("text_hash", F.md5(F.substring("text", 1, 16)))
+    win = Window.partitionBy("text_hash")
+    return (
+        hashed.withColumn("senpai", F.min("doc_id").over(win))
+        .withColumn("n_members", F.count(F.lit(1)).over(win))
+        .filter(F.col("doc_id") == F.col("senpai"))
+        .select(
+            "doc_id",
+            "n_chars",
+            (F.col("n_members") - 1).alias("n_dropped"),
+        )
+    )
+
+
+SQL_M3_APPLY = """
+WITH h AS (
+  SELECT doc_id, n_chars,
+         min(doc_id) OVER (PARTITION BY md5(substr(text, 1, 16))) AS senpai,
+         count(*) OVER (PARTITION BY md5(substr(text, 1, 16))) AS n_members
+  FROM documents
+)
+SELECT doc_id, n_chars, n_members - 1 AS n_dropped
+FROM h WHERE doc_id = senpai
+"""
+
+
+# ===========================================================================
 # similarity search over embeddings (ANN: brute-force baseline + LSH buckets)
 # ===========================================================================
 EMB_DIM = 64
@@ -881,6 +1103,116 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 """
 
 
+def _emb_bucket_col(planes: list[list[int]]):
+    """JVM-side sign-LSH bucket id over the `v` double-array column."""
+    bucket = F.lit(0)
+    for j, row in enumerate(planes):
+        coeffs = F.array(*[F.lit(float(c)) for c in row])
+        dot = F.aggregate(
+            F.zip_with("v", coeffs, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def q_emb_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN top-k (the actual similarity-search operator, extending
+    emb_lsh_buckets from occupancy to retrieval): each query vector probes its
+    own bucket PLUS every 1-bit-flip bucket (multiprobe — recovers neighbors
+    that fall just across one hyperplane), candidates are deduped, scored with
+    exact cosine, and ranked top-k per query.
+
+    Scale shape: the probe explode is 9 rows per query; the candidate join is
+    an equi-join on the bucket id (the shuffle key), NOT an all-pairs cross —
+    corpus-side work is proportional to probed-bucket occupancy. Brute-force
+    cosine (q_emb_cosine_topk) is the small-scale baseline this replaces."""
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    planes = _emb_hyperplanes()
+    vecs = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    assigned = vecs.select(
+        "vec_id", "v", norm.alias("norm"), _emb_bucket_col(planes).alias("bucket")
+    ).localCheckpoint(eager=False)  # referenced by both join sides below
+
+    q = assigned.filter(F.col("vec_id") < EMB_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(EMB_N_PLANES)],
+            )
+        ).alias("bucket"),
+    )
+    cand = (
+        q.join(assigned, "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qv", "qn", F.col("vec_id").alias("neighbor_id"), "v", "norm")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(dot / (F.col("qn") * F.col("norm")), 6).alias("cosine"),
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= EMB_TOPK)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _sql_emb_knn() -> str:
+    planes = _emb_hyperplanes()
+    bits = []
+    for j, row in enumerate(planes):
+        terms = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {float(c)}" for i, c in enumerate(row)
+        )
+        bits.append(f"CASE WHEN ({terms}) >= 0 THEN {1 << j} ELSE 0 END")
+    bucket = " + ".join(bits)
+    probes = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << j})" for j in range(EMB_N_PLANES)]
+    )
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v,
+         sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS norm,
+         ({bucket}) AS bucket
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, norm AS qn,
+         unnest([{probes}]) AS bucket
+  FROM vecs WHERE vec_id < {EMB_N_QUERIES}
+), cand AS (
+  SELECT DISTINCT q.query_id, q.qv, q.qn, c.vec_id AS neighbor_id, c.v, c.norm
+  FROM q JOIN vecs c ON q.bucket = c.bucket AND c.vec_id != q.query_id
+), scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_sum([qv[i] * v[i] for i in range(1, {EMB_DIM + 1})])
+               / (qn * norm), 6) AS cosine
+  FROM cand
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {EMB_TOPK}
+"""
+
+
+SQL_EMB_KNN = _sql_emb_knn()
+
+
 def q_emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketing (the ANN scale path): 8 deterministic ±1 hyperplanes
     -> 8-bit bucket id per vector; output bucket occupancy. At corpus scale
@@ -948,6 +1280,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "text_fingerprint": q_text_fingerprint,
         "m1_dedup_plan": q_m1_dedup_plan,
+        "m3_apply_dedup": q_m3_apply_dedup,
+        "o3_tree_sort": q_o3_tree_sort,
+        "p2_tree_export": q_p2_tree_export,
         "o4_preview_topk": q_o4_preview_topk,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
@@ -955,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing": q_q1_pricing,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_lsh_buckets": q_emb_lsh_buckets,
+        "emb_lsh_knn": q_emb_lsh_knn,
     }
 
 
@@ -980,6 +1316,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
         "m1_dedup_plan": SQL_M1_DEDUP_PLAN,
+        "m3_apply_dedup": SQL_M3_APPLY,
+        "o3_tree_sort": SQL_O3_TREE_SORT,
+        "p2_tree_export": SQL_P2_TREE_EXPORT,
         "o4_preview_topk": SQL_O4_PREVIEW,
         "text_stats": SQL_TEXT_STATS,
         "text_langid": SQL_TEXT_LANGID,
@@ -987,4 +1326,5 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing": SQL_Q1,
         "emb_cosine_topk": SQL_EMB_TOPK,
         "emb_lsh_buckets": SQL_EMB_LSH,
+        "emb_lsh_knn": SQL_EMB_KNN,
     }

@@ -44,11 +44,37 @@ class StageRecord:
     manifest_hash: str
 
 
+def fingerprint_files(source_path: str) -> str:
+    """Input fingerprint for file-backed inputs: sha256 over the sorted
+    (name, size, mtime_ns) triples — the graft of dupion's per-row
+    (ctime, size) cache validation (vfs/entry.rs:173-198) to file granularity.
+    A changed/added/removed input file changes the fingerprint, which changes
+    every manifest hash in the chain, so NOTHING stale is reused."""
+    import glob as _glob
+
+    if os.path.isfile(source_path):
+        files = [source_path]
+    else:
+        files = sorted(_glob.glob(os.path.join(source_path, "*.parquet")))
+    h = sha256()
+    for f in files:
+        st = os.stat(f)
+        h.update(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:16]
+
+
 class CheckpointManager:
-    def __init__(self, spark: SparkSession, root: str | None, cfg: DedupConfig):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str | None,
+        cfg: DedupConfig,
+        input_fingerprint: str = "",
+    ):
         self.spark = spark
         self.root = root
         self.cfg = cfg
+        self.input_fingerprint = input_fingerprint
         self.records: list[StageRecord] = []
         self._hashes: dict[str, str] = {}
         if root:
@@ -64,16 +90,26 @@ class CheckpointManager:
         return os.path.join(self.root, stage)
 
     def _expected_manifest(self, stage: str, parents: list[str]) -> dict:
-        parent_hashes = [self._hashes[p] for p in parents if p in self._hashes]
+        missing = [p for p in parents if p not in self._hashes]
+        if missing:
+            # a misspelled/unbuilt parent silently weakening the chain is
+            # exactly the bug class the Merkle chain exists to prevent
+            raise ValueError(f"stage {stage!r}: unknown parent stages {missing}")
         return {
             "stage": stage,
             "config_hash": self.cfg.config_hash(),
-            "parent_hashes": parent_hashes,
+            # root stages (no parents) are fingerprinted by the INPUT, so a
+            # resumed run over different data cannot reuse stale parquet
+            "input_hash": self.input_fingerprint if not parents else "",
+            "parent_hashes": [self._hashes[p] for p in parents],
         }
 
     @staticmethod
     def _hash_manifest(manifest: dict) -> str:
-        core = {k: manifest[k] for k in ("stage", "config_hash", "parent_hashes")}
+        core = {
+            k: manifest.get(k, "")
+            for k in ("stage", "config_hash", "input_hash", "parent_hashes")
+        }
         return sha256(json.dumps(core, sort_keys=True).encode()).hexdigest()[:16]
 
     # -- public --------------------------------------------------------------
