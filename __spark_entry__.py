@@ -5,11 +5,13 @@ entry(spark)    — flagship: exact+near-duplicate clustering of the synthetic
 queries()       — every implemented operator from SURVEY.md §2: relational
                   operators over the driver's TPC-H-ish parquet tables (each
                   with a DuckDB oracle), plus the image-pipeline queries on
-                  the deterministic synthetic fixture (rows-only checks —
-                  pandas-UDF pixel decode and iterative connected components
-                  are not SQL-expressible).
-oracle_sql()    — DuckDB-runnable ANSI SQL per relational query; column names
-                  alias-matched to the Spark side.
+                  the deterministic synthetic fixture.
+oracle_sql()    — DuckDB-runnable ANSI SQL per query; column names
+                  alias-matched to the Spark side. Image queries are checked
+                  against materialized GOLDEN parquet tables (single-process
+                  numpy/hashlib expected values, dupion_spark/sources/synth.py)
+                  via read_parquet — the pixel decode itself is not
+                  SQL-expressible, so the golden table IS its expected output.
 """
 
 from __future__ import annotations
@@ -35,4 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return Q.oracle_sql()
+    merged: dict[str, str] = {}
+    merged.update(Q.oracle_sql())
+    merged.update(IQ.image_oracle_sql())
+    return merged

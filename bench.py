@@ -37,6 +37,11 @@ HEADLINE = [
     "ngram_jaccard",
     "text_fingerprint",
     "events_window_agg",
+    "o3_tree_sort",
+    "p2_tree_export",
+    "m3_apply_dedup",
+    "emb_cosine_topk",
+    "emb_lsh_knn",
 ]
 
 

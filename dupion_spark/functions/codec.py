@@ -82,6 +82,17 @@ def decode_image(data: bytes) -> np.ndarray:
     raise ValueError(f"unknown image magic: {data[:4]!r}")
 
 
+def try_decode_image(data: bytes) -> np.ndarray | None:
+    """decode_image, but None for undecodable payloads (unknown magic,
+    truncated/corrupt bytes, containers). At corpus scale a corrupt row must
+    degrade to byte-hash-only handling (F4 validity semantics), never kill
+    the job."""
+    try:
+        return decode_image(data)
+    except (ValueError, NotImplementedError, zlib.error, struct.error):
+        return None
+
+
 def psnr_db(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB between two uint8 arrays.
 

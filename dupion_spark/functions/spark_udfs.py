@@ -36,7 +36,10 @@ def make_pixel_sha256_udf():
     def pixel_sha256(data: pd.Series) -> pd.Series:
         out = []
         for blob in data:
-            pixels = codec.decode_image(bytes(blob))
+            pixels = codec.try_decode_image(bytes(blob))
+            if pixels is None:  # non-image payload (container/corrupt): F4
+                out.append(None)
+                continue
             h, w, c = pixels.shape
             hasher = hashlib.sha256()
             hasher.update(f"{h}x{w}x{c}:".encode())
@@ -75,10 +78,19 @@ def make_pixel_signature_udf(cfg: DedupConfig):
     def pixel_signature(data: pd.Series) -> pd.DataFrame:
         simhashes, phashes = [], []
         for blob in data:
-            pixels = codec.decode_image(bytes(blob))
+            pixels = codec.try_decode_image(bytes(blob))
+            if pixels is None:
+                simhashes.append(None)
+                phashes.append(None)
+                continue
             simhashes.append(signatures.simhash64(pixels, cfg))
             phashes.append(signatures.phash64(pixels, cfg))
-        return pd.DataFrame({"simhash": simhashes, "phash": phashes})
+        return pd.DataFrame(
+            {
+                "simhash": pd.array(simhashes, dtype="Int64"),
+                "phash": pd.array(phashes, dtype="Int64"),
+            }
+        )
 
     return pixel_signature
 
@@ -137,9 +149,13 @@ def make_verify_udf(cfg: DedupConfig):
     ) -> pd.DataFrame:
         psnrs, lcs_lens, passed = [], [], []
         for bl, br, cl, cr in zip(bytes_l, bytes_r, cap_l, cap_r):
-            pl = codec.decode_image(bytes(bl))
-            pr = codec.decode_image(bytes(br))
-            psnr = codec.psnr_db(pl, pr)
+            pl = codec.try_decode_image(bytes(bl))
+            pr = codec.try_decode_image(bytes(br))
+            psnr = (
+                codec.psnr_db(pl, pr)
+                if pl is not None and pr is not None
+                else float("-inf")  # undecodable side: never similar
+            )
             lcs = _lcs_length(cl or "", cr or "")
             ok = psnr >= cfg.psnr_threshold_db
             if cfg.require_caption_lcs:

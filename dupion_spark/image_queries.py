@@ -1,4 +1,4 @@
-"""Image-pipeline queries for the driver contract (rows-only checks).
+"""Image-pipeline queries for the driver contract — value-checked vs golden.
 
 These run the actual near-duplicate engine on the deterministic synthetic
 image+caption fixture (BASELINE.json input_hint shape; the driver's TPC-H-ish
@@ -6,10 +6,20 @@ tables carry no image payloads, and the task mandates synthesizing the input
 table deterministically at small scale). The fixture is materialized once per
 scale under data/ and reused.
 
-No oracle_sql entries: pixel decode (pandas UDFs) and iterative connected
-components are not SQL-expressible — the driver records rows-only checks
-(__spark_entry__ contract), and pytest's golden-oracle recall gate covers
-value correctness (tests/test_pipeline.py).
+Oracle strategy: the fixture generator (sources/synth.py) writes GOLDEN
+parquet tables — cluster assignments from its single-process union-find
+oracle, plus golden_features with every expected per-row hash computed in
+plain numpy/hashlib, independent of the Spark path. The oracle SQL reads
+those tables with DuckDB read_parquet(), so the driver value-checks the
+pipeline outputs (exact groups, clusters, canonical election, rollup,
+shadow groups, treediff) instead of rows-only counts. The pixel decode
+itself is not SQL-expressible — the golden table IS its expected output.
+
+The driver runs correctness at sf=0.01, so the oracle SQL binds to that
+fixture directory (the Spark side follows whatever sf_dir it is given; at
+other scales the oracles don't apply). img_tree_rows stays rows-only: its
+relational semantics are already oracle-checked by o3_tree_sort /
+p2_tree_export.
 """
 
 from __future__ import annotations
@@ -29,6 +39,9 @@ DATA_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file_
 # fixture rows per driver scale factor (sf_dir basename -> n_rows)
 SCALE_ROWS = {"sf0.001": 300, "sf0.01": 1200, "sf0.1": 6000}
 
+# the driver's correctness scale — oracle SQL binds to this fixture
+ORACLE_SCALE = "sf0.01"
+
 
 def _fixture_dir(sf_dir: str) -> tuple[str, int]:
     scale = os.path.basename(sf_dir.rstrip("/")) or "sf0.001"
@@ -36,6 +49,19 @@ def _fixture_dir(sf_dir: str) -> tuple[str, int]:
     out = os.path.join(DATA_ROOT, f"synth_{scale}")
     materialize(out, n_rows)
     return out, n_rows
+
+
+def _g(table: str) -> str:
+    """DuckDB read_parquet() literal for a golden fixture table."""
+    path = os.path.join(DATA_ROOT, f"synth_{ORACLE_SCALE}", f"{table}.parquet")
+    return f"read_parquet('{path}')"
+
+
+def ensure_oracle_fixture() -> None:
+    """Materialize the oracle-scale fixture so read_parquet targets exist
+    even if the driver evaluates oracle SQL before any Spark query runs."""
+    n_rows = SCALE_ROWS[ORACLE_SCALE]
+    materialize(os.path.join(DATA_ROOT, f"synth_{ORACLE_SCALE}"), n_rows)
 
 
 def load_images(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,6 +74,9 @@ def load_partition_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(fdir, "partition_map.parquet"))
 
 
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 def q_img_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate pixel groups (dupion's default output, SURVEY §3.1)."""
     images = load_images(spark, sf_dir)
@@ -57,8 +86,17 @@ def q_img_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex(F.col("pixel_sha256")).alias("pixel_hash"),
         "n_members",
         "total_bytes",
-        F.col("members").getItem(0).alias("first_member"),
+        F.array_join("members", ",").alias("members"),
     )
+
+
+SQL_IMG_EXACT_GROUPS = f"""
+SELECT pixel_sha256_hex AS pixel_hash, count(*) AS n_members,
+       CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+       array_to_string(list_sort(list(image_id)), ',') AS members
+FROM {_g('golden_features')}
+GROUP BY pixel_sha256_hex HAVING count(*) > 1
+"""
 
 
 def q_img_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,6 +106,12 @@ def q_img_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.clusters
 
 
+SQL_IMG_CLUSTERS = f"""
+SELECT image_id, min(image_id) OVER (PARTITION BY cluster_id) AS cluster_root
+FROM {_g('golden_clusters')}
+"""
+
+
 def q_img_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster canonical map via senpai election (O6 graft)."""
     images = load_images(spark, sf_dir)
@@ -75,12 +119,48 @@ def q_img_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.canonical
 
 
+SQL_IMG_CANONICAL = f"""
+WITH gc AS (
+  SELECT image_id, min(image_id) OVER (PARTITION BY cluster_id) AS cluster_root
+  FROM {_g('golden_clusters')}
+), cp AS (
+  SELECT pixel_sha256_hex, count(*) AS copies
+  FROM {_g('golden_features')} GROUP BY 1
+), e AS (
+  SELECT gc.cluster_root, gf.image_id, gf.byte_len, cp.copies
+  FROM gc JOIN {_g('golden_features')} gf USING (image_id)
+          JOIN cp USING (pixel_sha256_hex)
+)
+SELECT cluster_root, image_id AS canonical_image_id, n_members, total_bytes
+FROM (
+  SELECT e.*,
+         row_number() OVER (PARTITION BY cluster_root
+           ORDER BY byte_len ASC, copies DESC, image_id ASC) AS rn,
+         count(*) OVER (PARTITION BY cluster_root) AS n_members,
+         CAST(sum(byte_len) OVER (PARTITION BY cluster_root) AS BIGINT) AS total_bytes
+  FROM e
+) WHERE rn = 1
+"""
+
+
 def q_img_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-partition rollup hashes + twin detection (A4/J3 graft)."""
+    """Per-partition rollup hashes (A4 graft)."""
     images = load_images(spark, sf_dir)
     parts = load_partition_map(spark, sf_dir)
     result = run_pipeline(spark, images, DedupConfig(), partition_map=parts)
     return result.rollup
+
+
+SQL_IMG_ROLLUP = f"""
+SELECT pm.part_key,
+       sha256(string_agg(pm.rel_name || ':' || gf.content_hash, '|'
+              ORDER BY pm.rel_name || ':' || gf.content_hash)) AS rollup_hash,
+       count(*) AS rollup_count,
+       CAST(sum(gf.byte_len) AS BIGINT) AS rollup_bytes
+FROM {_g('partition_map')} pm
+JOIN {_g('golden_features')} gf USING (image_id)
+GROUP BY pm.part_key
+"""
 
 
 def q_img_groups_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -94,14 +174,50 @@ def q_img_groups_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = groups_with_shadow_rule(result.clusters, result.shadows, rule=2)
     return out.select(
         "cluster_root", "n_members", "n_shadowed", "n_visible",
-        F.col("members").getItem(0).alias("first_member"),
+        F.array_join("members", ",").alias("members"),
     )
+
+
+SQL_IMG_GROUPS_SHADOW = f"""
+WITH ro AS (
+  SELECT pm.part_key,
+         sha256(string_agg(pm.rel_name || ':' || gf.content_hash, '|'
+                ORDER BY pm.rel_name || ':' || gf.content_hash)) AS rollup_hash
+  FROM {_g('partition_map')} pm
+  JOIN {_g('golden_features')} gf USING (image_id)
+  GROUP BY pm.part_key
+), tw AS (
+  SELECT part_key FROM (
+    SELECT part_key, count(*) OVER (PARTITION BY rollup_hash) AS n FROM ro
+  ) WHERE n > 1
+), sh AS (
+  SELECT pm.image_id,
+         pm.part_key IN (SELECT part_key FROM tw) AS shadowed
+  FROM {_g('partition_map')} pm
+), gc AS (
+  SELECT image_id, min(image_id) OVER (PARTITION BY cluster_id) AS cluster_root
+  FROM {_g('golden_clusters')}
+), g AS (
+  SELECT gc.cluster_root,
+         count(*) AS n_members,
+         CAST(sum(CASE WHEN sh.shadowed THEN 1 ELSE 0 END) AS BIGINT) AS n_shadowed,
+         count(*) - CAST(sum(CASE WHEN sh.shadowed THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_visible,
+         array_to_string(list_sort(list(gc.image_id)), ',') AS all_members,
+         array_to_string(list_sort(list(gc.image_id) FILTER (WHERE NOT sh.shadowed)), ',')
+             AS visible_members
+  FROM gc JOIN sh USING (image_id)
+  GROUP BY gc.cluster_root HAVING count(*) > 1
+)
+SELECT cluster_root, n_members, n_shadowed, n_visible,
+       CASE WHEN n_visible <> 1 THEN visible_members ELSE all_members END AS members
+FROM g WHERE NOT ((n_visible <> 1) AND n_visible <= 1)
+"""
 
 
 def q_img_treediff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 treediff (treediff.rs:96-131) between the two planted duplicate
     partitions dupA/dupB: every rel_name should classify as 2 (equal)."""
-    from dupion_spark.operators import exact
     from dupion_spark.operators.treediff import diff_rows
 
     images = load_images(spark, sf_dir)
@@ -116,6 +232,37 @@ def q_img_treediff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff_rows(side_a, side_b)
 
 
+SQL_IMG_TREEDIFF = f"""
+WITH k AS (
+  SELECT pm.part_key, pm.rel_name, gf.content_hash
+  FROM {_g('partition_map')} pm
+  JOIN {_g('golden_features')} gf USING (image_id)
+), a AS (SELECT rel_name, content_hash AS hash_a FROM k WHERE part_key = 'dupA'),
+   b AS (SELECT rel_name, content_hash AS hash_b FROM k WHERE part_key = 'dupB')
+SELECT rel_name, hash_a, hash_b,
+       CASE WHEN hash_a = hash_b THEN 2
+            WHEN hash_a IS NULL OR hash_b IS NULL THEN 1
+            ELSE 0 END AS status
+FROM a FULL OUTER JOIN b USING (rel_name)
+"""
+
+
+def q_img_tree_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/O3 tree node table over the image fixture (operators/tree.py):
+    per-node label, reference child sort rank, and the 4-member DUPS preview.
+    Rows-only driver check — the tree-sort/export SEMANTICS are oracle-checked
+    relationally by o3_tree_sort and p2_tree_export."""
+    from dupion_spark.operators import rollup as rollup_op
+    from dupion_spark.operators.tree import tree_rows
+
+    images = load_images(spark, sf_dir)
+    parts = load_partition_map(spark, sf_dir)
+    cfg = DedupConfig()
+    hashes = exact.exact_hash_table(images, cfg).localCheckpoint(eager=False)
+    roll = rollup_op.rollup_table(hashes, parts)
+    return tree_rows(hashes, parts, roll)
+
+
 def image_queries():
     return {
         "img_exact_groups": q_img_exact_groups,
@@ -124,4 +271,19 @@ def image_queries():
         "img_rollup": q_img_rollup,
         "img_groups_shadow": q_img_groups_shadow,
         "img_treediff": q_img_treediff,
+        "img_tree_rows": q_img_tree_rows,
+    }
+
+
+def image_oracle_sql():
+    """DuckDB oracles over the materialized golden tables (see module doc).
+    img_tree_rows is intentionally absent (rows-only)."""
+    ensure_oracle_fixture()
+    return {
+        "img_exact_groups": SQL_IMG_EXACT_GROUPS,
+        "img_clusters": SQL_IMG_CLUSTERS,
+        "img_canonical": SQL_IMG_CANONICAL,
+        "img_rollup": SQL_IMG_ROLLUP,
+        "img_groups_shadow": SQL_IMG_GROUPS_SHADOW,
+        "img_treediff": SQL_IMG_TREEDIFF,
     }

@@ -48,35 +48,54 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("minhash", T.ArrayType(T.LongType())),
         T.StructField("simhash", T.LongType()),
         T.StructField("phash", T.LongType()),
+        # payload locator: which (file, row group) holds this row's bytes —
+        # lets downstream stages (pair verification) re-fetch payloads
+        # worker-side instead of shipping binary columns through joins/Arrow.
+        # Null on the DataFrame-input fallback path.
+        T.StructField("src_file", T.StringType()),
+        T.StructField("src_rg", T.IntegerType()),
     ]
 )
 
 
-def _extract_rows(table, cfg: DedupConfig) -> pd.DataFrame:
+def _extract_rows(table, cfg: DedupConfig, src_file: str = None,
+                  src_rg: int = None) -> pd.DataFrame:
     out = {k: [] for k in ("image_id", "byte_len", "byte_sha256", "pixel_sha256",
                            "w", "h", "caption", "minhash", "simhash", "phash")}
     ids = table.column("image_id").to_pylist()
     blobs = table.column("bytes").to_pylist()
     captions = table.column("caption").to_pylist()
     for image_id, blob, caption in zip(ids, blobs, captions):
-        pixels = codec.decode_image(blob)
-        h, w, c = pixels.shape
-        hasher = hashlib.sha256()
-        hasher.update(f"{h}x{w}x{c}:".encode())
-        hasher.update(pixels.tobytes())
+        pixels = codec.try_decode_image(blob)
         out["image_id"].append(image_id)
         out["byte_len"].append(len(blob))
         out["byte_sha256"].append(hashlib.sha256(blob).hexdigest())
-        out["pixel_sha256"].append(hasher.digest())
-        out["w"].append(w)
-        out["h"].append(h)
         out["caption"].append(caption or "")
         out["minhash"].append(
             signatures.minhash_signature(caption or "", cfg).tolist()
         )
+        if pixels is None:  # non-image payload (container/corrupt): F4 —
+            out["pixel_sha256"].append(None)  # byte-hash-only row
+            out["w"].append(0)
+            out["h"].append(0)
+            out["simhash"].append(None)
+            out["phash"].append(None)
+            continue
+        h, w, c = pixels.shape
+        hasher = hashlib.sha256()
+        hasher.update(f"{h}x{w}x{c}:".encode())
+        hasher.update(pixels.tobytes())
+        out["pixel_sha256"].append(hasher.digest())
+        out["w"].append(w)
+        out["h"].append(h)
         out["simhash"].append(signatures.simhash64(pixels, cfg))
         out["phash"].append(signatures.phash64(pixels, cfg))
-    return pd.DataFrame(out)
+    frame = pd.DataFrame(out)
+    frame["simhash"] = pd.array(out["simhash"], dtype="Int64")
+    frame["phash"] = pd.array(out["phash"], dtype="Int64")
+    frame["src_file"] = src_file
+    frame["src_rg"] = pd.Series([src_rg] * len(frame), dtype="Int32")
+    return frame
 
 
 def extract_features_from_files(
@@ -126,7 +145,7 @@ def extract_features_from_files(
                 table = pq.ParquetFile(path).read_row_group(
                     int(rg), columns=["image_id", "bytes", "caption"]
                 )
-                yield _extract_rows(table, cfg)
+                yield _extract_rows(table, cfg, src_file=path, src_rg=int(rg))
 
     return split_df.mapInPandas(gen, FEATURE_SCHEMA)
 
@@ -193,4 +212,6 @@ def features_from_dataframe(images: DataFrame, cfg: DedupConfig) -> DataFrame:
         "caption", "minhash",
         F.col("_px.simhash").alias("simhash"),
         F.col("_px.phash").alias("phash"),
+        F.lit(None).cast("string").alias("src_file"),
+        F.lit(None).cast("int").alias("src_rg"),
     )

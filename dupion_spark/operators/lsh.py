@@ -116,6 +116,9 @@ def band_table(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
         + _hash64_band_cols("phash", cfg.phash_bands, "phash", cfg.probe_bits)
         + _hash64_band_cols("simhash", cfg.simhash_bands, "simhash", 0)
     )
+    # rows without pixel signatures (containers / corrupt payloads, F4) never
+    # pass the pixel-authoritative verify — banding them is pure waste
+    signatures = signatures.filter(F.col("phash").isNotNull())
     return (
         signatures.select("rep_id", F.explode(F.array(*all_bands)).alias("b"))
         .select(
@@ -139,16 +142,22 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
     counts = bands.groupBy("band_key").agg(
         F.count(F.lit(1)).alias("_n"), F.min("rep_id").alias("_hub")
     )
-    sized = bands.join(counts, "band_key")
+    # per-source cap: caption buckets get a tighter all-pairs window than
+    # pixel buckets (see DedupConfig.max_band_bucket rationale)
+    cap = (
+        F.when(F.col("band_src") == "minhash", F.lit(cfg.minhash_max_bucket))
+        .otherwise(F.lit(cfg.max_band_bucket))
+    )
+    sized = bands.join(counts, "band_key").withColumn("_cap", cap)
 
-    small = sized.filter(F.col("_n") <= cfg.max_band_bucket)
+    small = sized.filter(F.col("_n") <= F.col("_cap"))
     left = small.select("band_key", F.col("rep_id").alias("id_l"),
                         F.col("band_src").alias("band_src"))
     right = small.select("band_key", F.col("rep_id").alias("id_r"))
     small_pairs = left.join(right, "band_key").filter(F.col("id_l") < F.col("id_r"))
 
     big_pairs = (
-        sized.filter(F.col("_n") > cfg.max_band_bucket)
+        sized.filter(F.col("_n") > F.col("_cap"))
         .filter(F.col("rep_id") != F.col("_hub"))
         .select(
             F.col("_hub").alias("id_l"),

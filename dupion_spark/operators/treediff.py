@@ -40,6 +40,20 @@ def diff_rows(side_a: DataFrame, side_b: DataFrame, key: str = "rel_name",
     )
 
 
+def diff_json(diff: DataFrame) -> str:
+    """P3 JSON diff printer (output/treediff.rs:141-159): serialize the row
+    diff with the reference's UNIQ/SUPR/DUPS idents. Presentation step (the
+    reference writes to stdout) — collect only bounded diffs; export the
+    diff_rows table for corpus-scale outputs."""
+    import json
+
+    ident = {2: "DUPS", 1: "SUPR", 0: "UNIQ"}
+    rows = sorted(diff.collect(), key=lambda r: r[0])
+    return json.dumps(
+        {f"{ident[r['status']]} {r[0]}": " " for r in rows}, indent=1
+    )
+
+
 def diff_verdict(diff: DataFrame) -> DataFrame:
     """Partition-level classification from row statuses (J2 rollup):
     DUPS if every row matches, SUPR if one side covers the other

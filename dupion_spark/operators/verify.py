@@ -13,20 +13,27 @@ spark.sql.execution.arrow.maxRecordsPerBatch so executor memory stays bounded
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dupion_spark.config import DedupConfig
 from dupion_spark.functions.spark_udfs import make_verify_udf
 
 
 def prefilter_pairs(pairs: DataFrame, signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Cheap JVM-side pair prefilter: keep a pair only if phash OR simhash
-    hamming distance is within cfg.prefilter_hamming. bit_count(xor) runs in
-    whole-stage codegen — no decode, no Python. Genuine near-dups sit at
-    hamming <= 11 by the multiprobe construction, so this is recall-free
-    pruning of the accidental band collisions (the staged-pruning idea from
-    dupion/src/state/mod.rs:95-111, applied a third time)."""
+    """Cheap JVM-side pair prefilter with PER-SOURCE hamming thresholds:
+    keep a pair iff phash hamming <= cfg.prefilter_hamming (the multiprobe
+    guarantee band) OR simhash hamming <= cfg.simhash_prefilter_hamming (the
+    4-band pigeonhole guarantee). bit_count(xor) runs in whole-stage codegen —
+    no decode, no Python (the staged-pruning idea from
+    dupion/src/state/mod.rs:95-111, applied a third time).
+
+    See DedupConfig: folding both into one loose least() threshold floods
+    verify with simhash-only junk on smooth imagery."""
     if cfg.prefilter_hamming <= 0:
         return pairs
     sig = signatures.select("rep_id", "phash", "simhash")
@@ -44,9 +51,115 @@ def prefilter_pairs(pairs: DataFrame, signatures: DataFrame, cfg: DedupConfig) -
     sh_ham = F.bit_count(F.col("_sh_l").bitwiseXOR(F.col("_sh_r")))
     return (
         pairs.join(left, "id_l").join(right, "id_r")
-        .filter(F.least(ph_ham, sh_ham) <= cfg.prefilter_hamming)
+        .filter(
+            (ph_ham <= cfg.prefilter_hamming)
+            | (sh_ham <= cfg.simhash_prefilter_hamming)
+        )
         .select("id_l", "id_r", "band_src")
     )
+
+
+VERIFY_SCHEMA = T.StructType(
+    [
+        T.StructField("id_l", T.StringType()),
+        T.StructField("id_r", T.StringType()),
+        T.StructField("band_src", T.StringType()),
+        T.StructField("psnr", T.DoubleType()),
+        T.StructField("lcs_len", T.IntegerType()),
+        T.StructField("passed", T.BooleanType()),
+    ]
+)
+
+
+def verified_edges_from_files(
+    pairs: DataFrame, features: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """Worker-side pair verification — the scale path.
+
+    The DataFrame variant (verified_edges) joins the payload to each pair and
+    ships TWO image payloads per pair through the JVM->Python Arrow boundary
+    (~60 MB/s aggregate here): at 333k surviving pairs on the 100k-image
+    fixture that is ~30 GB of parallelism-INDEPENDENT transfer — measured as
+    the dominant term of the round-1 scaling gap. This variant instead joins
+    pairs to the (file, row_group) payload LOCATORS from the feature pass
+    (small columns only), clusters pairs by left-side file, and lets each
+    Python task pq-read the row groups it needs directly — the same
+    references-not-payloads pattern as operators/features.py. Per batch, each
+    needed row group is read once and each unique image decoded once (star
+    pairs share decodes)."""
+    loc = features.select("image_id", "src_file", "src_rg", "caption")
+    left = loc.select(
+        F.col("image_id").alias("id_l"),
+        F.col("src_file").alias("file_l"),
+        F.col("src_rg").alias("rg_l"),
+        F.col("caption").alias("caption_l"),
+    )
+    right = loc.select(
+        F.col("image_id").alias("id_r"),
+        F.col("src_file").alias("file_r"),
+        F.col("src_rg").alias("rg_r"),
+        F.col("caption").alias("caption_r"),
+    )
+    located = (
+        pairs.join(left, "id_l")
+        .join(right, "id_r")
+        .repartition(F.col("file_l"), F.col("rg_l"))
+        .sortWithinPartitions("file_l", "rg_l", "file_r", "rg_r")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from dupion_spark.functions import codec
+        from dupion_spark.functions.spark_udfs import _lcs_length
+
+        for pdf in batches:
+            # fetch: each needed (file, row group) read ONCE per batch,
+            # keeping only the bytes of ids the batch references
+            needed: dict[tuple[str, int], set] = {}
+            for col_f, col_rg, col_id in (("file_l", "rg_l", "id_l"),
+                                          ("file_r", "rg_r", "id_r")):
+                for f, rg, i in zip(pdf[col_f], pdf[col_rg], pdf[col_id]):
+                    needed.setdefault((f, int(rg)), set()).add(i)
+            pixels: dict[str, object] = {}
+            for (f, rg), ids in needed.items():
+                table = pq.ParquetFile(f).read_row_group(
+                    rg, columns=["image_id", "bytes"]
+                )
+                rg_ids = table.column("image_id").to_pylist()
+                blob_col = table.column("bytes")
+                for n, i in enumerate(rg_ids):
+                    if i in ids and i not in pixels:
+                        pixels[i] = codec.try_decode_image(blob_col[n].as_py())
+            psnrs, lcs_lens, passed = [], [], []
+            for il, ir, cl, cr in zip(pdf["id_l"], pdf["id_r"],
+                                      pdf["caption_l"], pdf["caption_r"]):
+                pl, pr = pixels.get(il), pixels.get(ir)
+                psnr = (
+                    codec.psnr_db(pl, pr)
+                    if pl is not None and pr is not None
+                    else float("-inf")  # undecodable side: never similar
+                )
+                lcs = _lcs_length(cl or "", cr or "")
+                ok = psnr >= cfg.psnr_threshold_db
+                if cfg.require_caption_lcs:
+                    ok = ok and lcs >= cfg.lcs_min_len
+                psnrs.append(psnr if np.isfinite(psnr) else (1e9 if psnr > 0 else -1e9))
+                lcs_lens.append(lcs)
+                passed.append(bool(ok))
+            yield pd.DataFrame(
+                {
+                    "id_l": pdf["id_l"],
+                    "id_r": pdf["id_r"],
+                    "band_src": pdf["band_src"],
+                    "psnr": psnrs,
+                    "lcs_len": lcs_lens,
+                    "passed": passed,
+                }
+            )
+
+    return located.mapInPandas(gen, VERIFY_SCHEMA)
 
 
 def verified_edges(pairs: DataFrame, images: DataFrame, cfg: DedupConfig) -> DataFrame:

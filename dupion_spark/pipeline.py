@@ -107,10 +107,15 @@ def run_pipeline(
         lambda: verify.prefilter_pairs(pairs, sigs, cfg),
         ["pairs", "signatures"],
     )
+    def _verify() -> DataFrame:
+        if source_path:
+            # features carry (file, row group) payload locators: verify reads
+            # payloads worker-side — pair bytes never cross the Arrow boundary
+            return verify.verified_edges_from_files(filtered, feats, cfg)
+        return verify.verified_edges(filtered, images, cfg)
+
     edges = mgr.stage(
-        "verified_edges",
-        lambda: verify.verified_edges(filtered, images, cfg),
-        ["pairs_prefiltered"],
+        "verified_edges", _verify, ["pairs_prefiltered", "features"]
     )
 
     def _cluster() -> DataFrame:

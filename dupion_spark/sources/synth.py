@@ -34,7 +34,7 @@ VOCAB = (
 SIZES = (16, 32, 64)
 
 # bump when the generation logic changes — invalidates materialized fixtures
-SYNTH_VERSION = 3
+SYNTH_VERSION = 4
 
 
 @dataclass
@@ -43,6 +43,10 @@ class SynthResult:
     golden_clusters: pd.DataFrame   # image_id, cluster_id, kind
     golden_pairs: pd.DataFrame      # id_l, id_r, reason
     partition_map: pd.DataFrame     # image_id, part_key, rel_name
+    golden_features: pd.DataFrame   # image_id, w, h, byte_len, byte_sha256,
+    #                                 pixel_sha256_hex, content_hash — the
+    #                                 single-process expected values the
+    #                                 DuckDB image-query oracles read
 
 
 class _Builder:
@@ -216,6 +220,45 @@ def generate(n_rows: int, cfg: DedupConfig | None = None) -> SynthResult:
     golden_clusters = pd.DataFrame(b.cluster_rows)
     golden_pairs = pd.DataFrame(b.pair_rows)
 
+    # golden feature table: the EXPECTED per-row hash values, computed here in
+    # plain numpy/hashlib (independent of the Spark path) so the driver's
+    # DuckDB oracles can value-check the image queries. Hex casing matches the
+    # Spark side exactly: sha2() emits lowercase, hex(binary) uppercase.
+    # content_hash replicates the reference's F2 prune semantics
+    # (state/mod.rs:95-111): pixel hash only when the (w,h) shape group has
+    # >1 member — a unique-shape row cannot be an exact pixel duplicate —
+    # byte hash otherwise.
+    import hashlib as _hashlib
+
+    from dupion_spark.functions.codec import decode_image as _decode
+
+    shape_counts: dict[tuple[int, int], int] = {}
+    for row in b.rows:
+        key = (row["w"], row["h"])
+        shape_counts[key] = shape_counts.get(key, 0) + 1
+    feat_rows = []
+    for row in b.rows:
+        pixels = _decode(row["bytes"])
+        ph, pw, pc = pixels.shape
+        hasher = _hashlib.sha256()
+        hasher.update(f"{ph}x{pw}x{pc}:".encode())
+        hasher.update(pixels.tobytes())
+        pixel_hex = hasher.hexdigest().upper()
+        byte_sha = _hashlib.sha256(row["bytes"]).hexdigest()
+        pruned = shape_counts[(row["w"], row["h"])] == 1
+        feat_rows.append(
+            {
+                "image_id": row["image_id"],
+                "w": row["w"],
+                "h": row["h"],
+                "byte_len": len(row["bytes"]),
+                "byte_sha256": byte_sha,
+                "pixel_sha256_hex": pixel_hex,
+                "content_hash": byte_sha if pruned else pixel_hex,
+            }
+        )
+    golden_features = pd.DataFrame(feat_rows)
+
     # partition map: round-robin partitions, plus two planted duplicate
     # partitions (same rel_name -> same pixels) for the rollup/shadow tests,
     # mirroring dupion's duplicated-folder detection (process/mod.rs:35-136)
@@ -247,7 +290,9 @@ def generate(n_rows: int, cfg: DedupConfig | None = None) -> SynthResult:
             prow["part_key"], prow["rel_name"] = overrides[prow["image_id"]]
     partition_map = pd.DataFrame(part_rows)
 
-    return SynthResult(images, golden_clusters, golden_pairs, partition_map)
+    return SynthResult(
+        images, golden_clusters, golden_pairs, partition_map, golden_features
+    )
 
 
 def materialize(out_dir: str, n_rows: int, cfg: DedupConfig | None = None) -> SynthResult:
@@ -280,7 +325,9 @@ def materialize(out_dir: str, n_rows: int, cfg: DedupConfig | None = None) -> Sy
             # direct-read feature extractor (operators/features.py)
             row_group_size=512,
         )
-        for name in ("golden_clusters", "golden_pairs", "partition_map"):
+        for name in (
+            "golden_clusters", "golden_pairs", "partition_map", "golden_features"
+        ):
             pq.write_table(
                 pa.Table.from_pandas(getattr(result, name), preserve_index=False),
                 os.path.join(out_dir, f"{name}.parquet"),

@@ -1,0 +1,88 @@
+"""Archive source (S7): container rows explode to child rows; archives keep
+their dual file+dir nature (reference zip/mod.rs:8-90, platterwalker.rs:352-354).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dupion_spark.config import DedupConfig
+from dupion_spark.functions.codec import encode_png
+from dupion_spark.operators import exact, rollup
+from dupion_spark.sources.archive import flatten_with_archives, pack_zip
+
+
+def _img(rng, dim=16):
+    return rng.integers(0, 255, size=(dim, dim, 3)).astype(np.uint8)
+
+
+@pytest.fixture(scope="module")
+def archive_fixture(spark):
+    rng = np.random.default_rng(7)
+    cfg = DedupConfig()
+    shared = _img(rng)          # pixels shared between a loose row and members
+    loose = encode_png(shared)
+    a_members = [
+        ("m0.png", loose, "cap zero"),
+        ("m1.png", encode_png(_img(rng)), "cap one"),
+    ]
+    twin_bytes = pack_zip(a_members)          # arcA and arcB: identical content
+    inner = pack_zip([("deep.png", encode_png(_img(rng)), "deep cap")])
+    nested_bytes = pack_zip([("inner.zip", inner, "")])
+
+    rows = [
+        ("loose0", loose, 16, 16, "png", "loose cap", 0),
+        ("arcA", twin_bytes, 0, 0, "zip", "", 0),
+        ("arcB", twin_bytes, 0, 0, "zip", "", 0),
+        ("arcNest", nested_bytes, 0, 0, "zip", "", 0),
+    ]
+    images = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, "
+              "caption string, phash long"
+    )
+    flat, cmap = flatten_with_archives(images, cfg)
+    return flat.cache(), cmap.cache()
+
+
+def test_children_become_rows(archive_fixture):
+    flat, _ = archive_fixture
+    ids = {r["image_id"] for r in flat.select("image_id").collect()}
+    assert {"arcA/m0.png", "arcA/m1.png", "arcB/m0.png", "arcB/m1.png"} <= ids
+    assert "arcNest/inner.zip" in ids            # the nested container itself
+    assert "arcNest/inner.zip/deep.png" in ids   # ...and its member (depth 2)
+    assert {"loose0", "arcA", "arcB", "arcNest"} <= ids  # parents keep file nature
+
+
+def test_children_carry_captions_and_shapes(archive_fixture):
+    flat, _ = archive_fixture
+    row = flat.filter("image_id = 'arcA/m0.png'").collect()[0]
+    assert row["caption"] == "cap zero"
+    assert (row["w"], row["h"], row["fmt"]) == (16, 16, "png")
+
+
+def test_archive_member_joins_exact_group_with_loose_row(archive_fixture):
+    flat, _ = archive_fixture
+    hashes = exact.exact_hash_table(flat, DedupConfig())
+    groups = exact.exact_groups(hashes).collect()
+    by_members = [set(g["members"]) for g in groups]
+    assert {"loose0", "arcA/m0.png", "arcB/m0.png"} in by_members
+
+
+def test_twin_archives_detected_as_duplicate_containers(archive_fixture):
+    flat, cmap = archive_fixture
+    hashes = exact.exact_hash_table(flat, DedupConfig())
+    roll = rollup.rollup_table(hashes, cmap)
+    twins = {r["part_key"]: r["n_twins"] for r in rollup.duplicated_partitions(roll).collect()}
+    assert twins.get("arcA") == 2 and twins.get("arcB") == 2
+    assert "arcNest" not in twins
+
+
+def test_container_map_covers_every_child(archive_fixture):
+    flat, cmap = archive_fixture
+    child_ids = {r["image_id"] for r in cmap.select("image_id").collect()}
+    flat_children = {
+        r["image_id"]
+        for r in flat.filter("image_id LIKE '%/%'").select("image_id").collect()
+    }
+    assert child_ids == flat_children

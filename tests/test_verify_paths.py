@@ -1,0 +1,43 @@
+"""The worker-side verify path (verified_edges_from_files) must produce the
+same edges and final clusters as the DataFrame payload-join path — they are
+the same operator with different payload transports."""
+
+from __future__ import annotations
+
+import pytest
+
+from dupion_spark.config import DedupConfig
+from dupion_spark.pipeline import run_pipeline
+
+
+@pytest.fixture(scope="module")
+def source_dir(images_df, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("vp") / "images_src")
+    images_df.coalesce(4).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_worker_side_verify_matches_dataframe_path(spark, images_df, source_dir):
+    cfg = DedupConfig()
+    via_files = run_pipeline(
+        spark, spark.read.parquet(source_dir), cfg, source_path=source_dir
+    )
+    via_df = run_pipeline(spark, images_df, cfg)
+
+    edges_files = {
+        (r["id_l"], r["id_r"], r["passed"], round(r["psnr"], 3), r["lcs_len"])
+        for r in via_files.verified_edges.collect()
+    }
+    edges_df = {
+        (r["id_l"], r["id_r"], r["passed"], round(r["psnr"], 3), r["lcs_len"])
+        for r in via_df.verified_edges.collect()
+    }
+    assert edges_files == edges_df
+
+    clusters_files = sorted(
+        (r["image_id"], r["cluster_root"]) for r in via_files.clusters.collect()
+    )
+    clusters_df = sorted(
+        (r["image_id"], r["cluster_root"]) for r in via_df.clusters.collect()
+    )
+    assert clusters_files == clusters_df
