@@ -105,8 +105,11 @@ def _hash64_band_cols(col_name: str, n_bands: int, src: str, probe_bits: int):
 
 def band_table(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Explode per-rep signatures into (rep_id, band_src, band_idx, band_val,
-    band_key). band_key is a single 64-bit shuffle key (xxhash64 of the
-    triple) so the downstream groupBy/join shuffles on one compact long."""
+    band_key, phash, simhash). band_key is a single 64-bit shuffle key
+    (xxhash64 of the triple) so the downstream groupBy/join shuffles on one
+    compact long. The two 64-bit pixel signatures ride along (16 bytes/row)
+    so candidate_pairs can hamming-prefilter INLINE at pair generation —
+    no join against a corpus-sized signature table afterwards."""
     # multiprobe expansion applies to phash ONLY: phash is the primary pixel
     # band source with the guaranteed hamming<=11 catch. simhash (a diversity
     # source with much lower entropy on smooth imagery) gets exact bands —
@@ -120,9 +123,13 @@ def band_table(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     # pass the pixel-authoritative verify — banding them is pure waste
     signatures = signatures.filter(F.col("phash").isNotNull())
     return (
-        signatures.select("rep_id", F.explode(F.array(*all_bands)).alias("b"))
+        signatures.select(
+            "rep_id", "phash", "simhash", F.explode(F.array(*all_bands)).alias("b")
+        )
         .select(
             "rep_id",
+            "phash",
+            "simhash",
             F.col("b.band_src").alias("band_src"),
             F.col("b.band_idx").alias("band_idx"),
             F.col("b.band_val").alias("band_val"),
@@ -131,16 +138,37 @@ def band_table(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
+def _hamming_ok(ph_l, sh_l, ph_r, sh_r, cfg: DedupConfig):
+    """Per-source prefilter predicate (see DedupConfig): phash within the
+    multiprobe guarantee band OR simhash within the pigeonhole band."""
+    ph_ham = F.bit_count(ph_l.bitwiseXOR(ph_r))
+    sh_ham = F.bit_count(sh_l.bitwiseXOR(sh_r))
+    return (ph_ham <= cfg.prefilter_hamming) | (
+        sh_ham <= cfg.simhash_prefilter_hamming
+    )
+
+
 def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """(id_l, id_r, band_src) candidate pairs, id_l < id_r, distinct.
+    """(id_l, id_r, band_src) candidate pairs, id_l < id_r, hamming-
+    prefiltered INLINE and deduped.
+
+    The raw pair stream (a pair per shared bucket — ~100M rows at 300k
+    images) never hits a shuffle: the hamming test runs inside the bucket
+    self-join using the signature columns the band rows carry, in whole-stage
+    codegen, and only the ~1000x smaller survivor set pays the dedup groupBy.
+    An earlier layout deduped the raw stream first and joined a signature
+    table after — the dedup was the single biggest shuffle of the pipeline.
 
     Small buckets -> all-pairs self-join (AQE skew-join handles residual skew);
-    buckets over cfg.max_band_bucket -> STAR links to the bucket minimum
+    buckets over the per-source cap -> STAR links to the bucket minimum
     (linear in bucket size, and — unlike chain links — the bucket subgraph is
     already a star, so connected components converges on it in one round
     instead of O(log chain-length))."""
     counts = bands.groupBy("band_key").agg(
-        F.count(F.lit(1)).alias("_n"), F.min("rep_id").alias("_hub")
+        F.count(F.lit(1)).alias("_n"),
+        F.min("rep_id").alias("_hub"),
+        F.min_by("phash", "rep_id").alias("_hub_ph"),
+        F.min_by("simhash", "rep_id").alias("_hub_sh"),
     )
     # per-source cap: caption buckets get a tighter all-pairs window than
     # pixel buckets (see DedupConfig.max_band_bucket rationale)
@@ -152,13 +180,24 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
 
     small = sized.filter(F.col("_n") <= F.col("_cap"))
     left = small.select("band_key", F.col("rep_id").alias("id_l"),
+                        F.col("phash").alias("_ph_l"),
+                        F.col("simhash").alias("_sh_l"),
                         F.col("band_src").alias("band_src"))
-    right = small.select("band_key", F.col("rep_id").alias("id_r"))
-    small_pairs = left.join(right, "band_key").filter(F.col("id_l") < F.col("id_r"))
+    right = small.select("band_key", F.col("rep_id").alias("id_r"),
+                         F.col("phash").alias("_ph_r"),
+                         F.col("simhash").alias("_sh_r"))
+    small_pairs = (
+        left.join(right, "band_key")
+        .filter(F.col("id_l") < F.col("id_r"))
+        .filter(_hamming_ok(F.col("_ph_l"), F.col("_sh_l"),
+                            F.col("_ph_r"), F.col("_sh_r"), cfg))
+    )
 
     big_pairs = (
         sized.filter(F.col("_n") > F.col("_cap"))
         .filter(F.col("rep_id") != F.col("_hub"))
+        .filter(_hamming_ok(F.col("_hub_ph"), F.col("_hub_sh"),
+                            F.col("phash"), F.col("simhash"), cfg))
         .select(
             F.col("_hub").alias("id_l"),
             F.col("rep_id").alias("id_r"),

@@ -24,142 +24,77 @@ from dupion_spark.config import DedupConfig
 from dupion_spark.functions.spark_udfs import make_verify_udf
 
 
-def prefilter_pairs(pairs: DataFrame, signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Cheap JVM-side pair prefilter with PER-SOURCE hamming thresholds:
-    keep a pair iff phash hamming <= cfg.prefilter_hamming (the multiprobe
-    guarantee band) OR simhash hamming <= cfg.simhash_prefilter_hamming (the
-    4-band pigeonhole guarantee). bit_count(xor) runs in whole-stage codegen —
-    no decode, no Python (the staged-pruning idea from
-    dupion/src/state/mod.rs:95-111, applied a third time).
-
-    See DedupConfig: folding both into one loose least() threshold floods
-    verify with simhash-only junk on smooth imagery."""
-    if cfg.prefilter_hamming <= 0:
-        return pairs
-    sig = signatures.select("rep_id", "phash", "simhash")
-    left = sig.select(
-        F.col("rep_id").alias("id_l"),
-        F.col("phash").alias("_ph_l"),
-        F.col("simhash").alias("_sh_l"),
-    )
-    right = sig.select(
-        F.col("rep_id").alias("id_r"),
-        F.col("phash").alias("_ph_r"),
-        F.col("simhash").alias("_sh_r"),
-    )
-    ph_ham = F.bit_count(F.col("_ph_l").bitwiseXOR(F.col("_ph_r")))
-    sh_ham = F.bit_count(F.col("_sh_l").bitwiseXOR(F.col("_sh_r")))
-    return (
-        pairs.join(left, "id_l").join(right, "id_r")
-        .filter(
-            (ph_ham <= cfg.prefilter_hamming)
-            | (sh_ham <= cfg.simhash_prefilter_hamming)
-        )
-        .select("id_l", "id_r", "band_src")
-    )
-
-
-VERIFY_SCHEMA = T.StructType(
+GATHER_SCHEMA = T.StructType(
     [
-        T.StructField("id_l", T.StringType()),
-        T.StructField("id_r", T.StringType()),
-        T.StructField("band_src", T.StringType()),
-        T.StructField("psnr", T.DoubleType()),
-        T.StructField("lcs_len", T.IntegerType()),
-        T.StructField("passed", T.BooleanType()),
+        T.StructField("image_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("caption", T.StringType()),
     ]
 )
 
 
-def verified_edges_from_files(
-    pairs: DataFrame, features: DataFrame, cfg: DedupConfig
-) -> DataFrame:
-    """Worker-side pair verification — the scale path.
+def gather_payloads(pairs: DataFrame, features: DataFrame) -> DataFrame:
+    """Candidate-endpoint payload gather — each needed row group is read ONCE
+    cluster-wide.
 
-    The DataFrame variant (verified_edges) joins the payload to each pair and
-    ships TWO image payloads per pair through the JVM->Python Arrow boundary
-    (~60 MB/s aggregate here): at 333k surviving pairs on the 100k-image
-    fixture that is ~30 GB of parallelism-INDEPENDENT transfer — measured as
-    the dominant term of the round-1 scaling gap. This variant instead joins
-    pairs to the (file, row_group) payload LOCATORS from the feature pass
-    (small columns only), clusters pairs by left-side file, and lets each
-    Python task pq-read the row groups it needs directly — the same
-    references-not-payloads pattern as operators/features.py. Per batch, each
-    needed row group is read once and each unique image decoded once (star
-    pairs share decodes)."""
-    loc = features.select("image_id", "src_file", "src_rg", "caption")
-    left = loc.select(
-        F.col("image_id").alias("id_l"),
-        F.col("src_file").alias("file_l"),
-        F.col("src_rg").alias("rg_l"),
-        F.col("caption").alias("caption_l"),
+    Pair endpoints are semi-joined against the (file, row_group) payload
+    locators from the feature pass, partitioned BY row group (explicit
+    partition count — without it AQE coalesces the tiny locator rows into one
+    partition and a single Python worker does every read), and each task
+    pq-reads its row groups directly, emitting only the endpoint payload rows
+    (id, bytes, caption). Output size is proportional to the CANDIDATE set,
+    not the corpus — the compact slice then feeds the ordinary join+UDF
+    verify. An earlier design partitioned by PAIR and re-read row groups per
+    batch: the right side of a pair list touches nearly every row group, so
+    every worker re-decompressed most of the corpus regardless of
+    parallelism — measured as a ~14 s parallelism-independent floor."""
+    ids = pairs.select(F.col("id_l").alias("image_id")).unionByName(
+        pairs.select(F.col("id_r").alias("image_id"))
+    ).distinct()
+    loc = features.select("image_id", "src_file", "src_rg", "caption").join(
+        ids, "image_id", "left_semi"
     )
-    right = loc.select(
-        F.col("image_id").alias("id_r"),
-        F.col("src_file").alias("file_r"),
-        F.col("src_rg").alias("rg_r"),
-        F.col("caption").alias("caption_r"),
-    )
-    located = (
-        pairs.join(left, "id_l")
-        .join(right, "id_r")
-        .repartition(F.col("file_l"), F.col("rg_l"))
-        .sortWithinPartitions("file_l", "rg_l", "file_r", "rg_r")
-    )
+    spark = pairs.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism * 2, 8)
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow.parquet as pq
 
-        from dupion_spark.functions import codec
-        from dupion_spark.functions.spark_udfs import _lcs_length
-
         for pdf in batches:
-            # fetch: each needed (file, row group) read ONCE per batch,
-            # keeping only the bytes of ids the batch references
-            needed: dict[tuple[str, int], set] = {}
-            for col_f, col_rg, col_id in (("file_l", "rg_l", "id_l"),
-                                          ("file_r", "rg_r", "id_r")):
-                for f, rg, i in zip(pdf[col_f], pdf[col_rg], pdf[col_id]):
-                    needed.setdefault((f, int(rg)), set()).add(i)
-            pixels: dict[str, object] = {}
-            for (f, rg), ids in needed.items():
+            needed: dict[tuple[str, int], dict[str, str]] = {}
+            for f, rg, i, cap in zip(pdf["src_file"], pdf["src_rg"],
+                                     pdf["image_id"], pdf["caption"]):
+                needed.setdefault((f, int(rg)), {})[i] = cap
+            out_ids, out_bytes, out_caps = [], [], []
+            for (f, rg), id_caps in needed.items():
                 table = pq.ParquetFile(f).read_row_group(
                     rg, columns=["image_id", "bytes"]
                 )
                 rg_ids = table.column("image_id").to_pylist()
                 blob_col = table.column("bytes")
                 for n, i in enumerate(rg_ids):
-                    if i in ids and i not in pixels:
-                        pixels[i] = codec.try_decode_image(blob_col[n].as_py())
-            psnrs, lcs_lens, passed = [], [], []
-            for il, ir, cl, cr in zip(pdf["id_l"], pdf["id_r"],
-                                      pdf["caption_l"], pdf["caption_r"]):
-                pl, pr = pixels.get(il), pixels.get(ir)
-                psnr = (
-                    codec.psnr_db(pl, pr)
-                    if pl is not None and pr is not None
-                    else float("-inf")  # undecodable side: never similar
-                )
-                lcs = _lcs_length(cl or "", cr or "")
-                ok = psnr >= cfg.psnr_threshold_db
-                if cfg.require_caption_lcs:
-                    ok = ok and lcs >= cfg.lcs_min_len
-                psnrs.append(psnr if np.isfinite(psnr) else (1e9 if psnr > 0 else -1e9))
-                lcs_lens.append(lcs)
-                passed.append(bool(ok))
+                    if i in id_caps:
+                        out_ids.append(i)
+                        out_bytes.append(blob_col[n].as_py())
+                        out_caps.append(id_caps[i])
             yield pd.DataFrame(
-                {
-                    "id_l": pdf["id_l"],
-                    "id_r": pdf["id_r"],
-                    "band_src": pdf["band_src"],
-                    "psnr": psnrs,
-                    "lcs_len": lcs_lens,
-                    "passed": passed,
-                }
+                {"image_id": out_ids, "bytes": out_bytes, "caption": out_caps}
             )
 
-    return located.mapInPandas(gen, VERIFY_SCHEMA)
+    return loc.repartition(n_parts, "src_file", "src_rg").mapInPandas(
+        fetch, GATHER_SCHEMA
+    )
+
+
+def verified_edges_from_files(
+    pairs: DataFrame, features: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """Worker-side pair verification — the scale path for file-backed inputs:
+    gather_payloads fetches only the candidate-endpoint payloads straight
+    from storage (no corpus re-scan, no corpus shuffle), then the compact
+    slice runs through the same join+UDF verify as the DataFrame path."""
+    payload = gather_payloads(pairs, features).localCheckpoint(eager=False)
+    return verified_edges(pairs, payload, cfg)
 
 
 def verified_edges(pairs: DataFrame, images: DataFrame, cfg: DedupConfig) -> DataFrame:

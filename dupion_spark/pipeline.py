@@ -49,6 +49,7 @@ class PipelineResult:
     shadows: DataFrame | None
     lineage: DataFrame
     metrics: dict
+    metrics_table: DataFrame      # (metric, stage, value) — A7 metrics table
 
 
 def run_pipeline(
@@ -92,7 +93,13 @@ def run_pipeline(
     hashes = mgr.stage(
         "hashes", lambda: features_op.hashes_from_features(feats), ["features"]
     )
-    groups = mgr.stage("exact_groups", lambda: exact.exact_groups(hashes), ["hashes"])
+    # exact_groups is a single-consumer output projection — no extra barrier
+    # (each eager checkpoint is ~1s of serial wall regardless of cluster size;
+    # multi-consumer stages keep theirs so their shuffles run exactly once)
+    groups = mgr.stage(
+        "exact_groups", lambda: exact.exact_groups(hashes), ["hashes"],
+        barrier=False,
+    )
     reps = mgr.stage("reps", lambda: exact.representatives(hashes), ["hashes"])
 
     sigs = mgr.stage(
@@ -101,22 +108,19 @@ def run_pipeline(
         ["features", "reps"],
     )
     bands = mgr.stage("bands", lambda: lsh.band_table(sigs, cfg), ["signatures"])
+    # candidate generation prefilters + dedupes inline (operators/lsh): the
+    # materialized pairs table IS the verify input — raw band-collision pairs
+    # never hit a barrier or a shuffle
     pairs = mgr.stage("pairs", lambda: lsh.candidate_pairs(bands, cfg), ["bands"])
-    filtered = mgr.stage(
-        "pairs_prefiltered",
-        lambda: verify.prefilter_pairs(pairs, sigs, cfg),
-        ["pairs", "signatures"],
-    )
+
     def _verify() -> DataFrame:
         if source_path:
             # features carry (file, row group) payload locators: verify reads
             # payloads worker-side — pair bytes never cross the Arrow boundary
-            return verify.verified_edges_from_files(filtered, feats, cfg)
-        return verify.verified_edges(filtered, images, cfg)
+            return verify.verified_edges_from_files(pairs, feats, cfg)
+        return verify.verified_edges(pairs, images, cfg)
 
-    edges = mgr.stage(
-        "verified_edges", _verify, ["pairs_prefiltered", "features"]
-    )
+    edges = mgr.stage("verified_edges", _verify, ["pairs", "features"])
 
     def _cluster() -> DataFrame:
         near = edges.filter(F.col("passed")).select("id_l", "id_r")
@@ -168,6 +172,21 @@ def run_pipeline(
                    for r in mgr.records},
     }
 
+    # A7 metrics TABLE (north_rule: metrics tables, not just a dict): global
+    # counters + per-stage wall/rows, appendable to a run-history table
+    metric_rows = [
+        ("n_images", "*", float(n_images)),
+        ("n_pixel_hashed", "*", float(n_hashed)),
+        ("prune_ratio", "*", float(metrics["prune_ratio"])),
+    ] + [
+        (name, r.stage, float(val))
+        for r in mgr.records
+        for name, val in (("stage_wall_ms", r.wall_ms), ("stage_rows", r.rows_out))
+    ]
+    metrics_table = spark.createDataFrame(
+        metric_rows, "metric string, stage string, value double"
+    )
+
     return PipelineResult(
         hashes=hashes,
         exact_groups=groups,
@@ -179,6 +198,7 @@ def run_pipeline(
         shadows=shadows,
         lineage=lineage,
         metrics=metrics,
+        metrics_table=metrics_table,
     )
 
 

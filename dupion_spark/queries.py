@@ -121,6 +121,33 @@ WHERE n_chars IN (SELECT n_chars FROM documents GROUP BY n_chars HAVING count(*)
 """
 
 
+def q_f1_size_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 size-range filter + F3 zero-size skip (state/mod.rs:106,
+    dedup/mod.rs:27) with the trivial projection operators folded in:
+    C2 base64 fingerprint (vfs/deser.rs:279-319), C3 size formatting
+    (output/groups.rs:40), F7 path-display prefix strip (opts/mod.rs:44-50)."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return (
+        docs.filter((F.col("n_chars") > 0) & F.col("n_chars").between(100, 900))
+        .select(
+            "doc_id",
+            F.base64(F.substring("text", 1, 9).cast("binary")).alias("b64_prefix"),
+            F.concat(F.col("n_chars").cast("string"), F.lit(" chars")).alias("size_disp"),
+            F.regexp_replace("source", "^src_", "").alias("display_source"),
+        )
+    )
+
+
+SQL_F1_SIZE_RANGE = """
+SELECT doc_id,
+       to_base64(CAST(substr(text, 1, 9) AS BLOB)) AS b64_prefix,
+       CAST(n_chars AS VARCHAR) || ' chars' AS size_disp,
+       regexp_replace(source, '^src_', '') AS display_source
+FROM documents
+WHERE n_chars > 0 AND n_chars BETWEEN 100 AND 900
+"""
+
+
 def q_a5_occurrence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 membership counts (state/mod.rs:91-94,112-118) as count windows."""
     (docs,) = _tables(spark, sf_dir, "documents")
@@ -1276,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a1_size_groups": q_a1_size_groups,
         "a2_hash_groups": q_a2_hash_groups,
+        "f1_size_range": q_f1_size_range,
         "f2_candidate_prune": q_f2_candidate_prune,
         "a4_rollup": q_a4_rollup,
         "a5_occurrence_counts": q_a5_occurrence_counts,
@@ -1312,6 +1340,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "a1_size_groups": SQL_A1,
         "a2_hash_groups": SQL_A2,
+        "f1_size_range": SQL_F1_SIZE_RANGE,
         "f2_candidate_prune": SQL_F2,
         "a4_rollup": SQL_A4,
         "a5_occurrence_counts": SQL_A5,

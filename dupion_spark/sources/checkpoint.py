@@ -119,8 +119,15 @@ class CheckpointManager:
         build: Callable[[], DataFrame],
         parents: list[str] | None = None,
         materialize: bool = True,
+        barrier: bool = True,
     ) -> DataFrame:
-        """Run (or resume) a named stage. With no checkpoint root, just builds."""
+        """Run (or resume) a named stage. With no checkpoint root, just builds.
+
+        barrier=False (no-checkpoint-root mode only): skip the eager
+        materialization for stages that are cheap projections of an
+        already-materialized parent — every eager localCheckpoint is a job
+        BARRIER (~1s of parallelism-independent wall each), and a pipeline of
+        a dozen stages pays that serially regardless of cluster size."""
         parents = parents or []
         start = time.time()
         if not self.root:
@@ -131,7 +138,9 @@ class CheckpointManager:
             # multi-stage pipeline to AQE as one giant tree makes it re-plan
             # the full tree after every shuffle (measured 109s vs 35s for the
             # same work stage-by-stage at sf0.1).
-            df = build().localCheckpoint(eager=True)
+            df = build()
+            if barrier:
+                df = df.localCheckpoint(eager=True)
             self.records.append(StageRecord(name, -1, int((time.time() - start) * 1000), False, ""))
             return df
 
