@@ -63,78 +63,82 @@ def signature_table(images: DataFrame, reps: DataFrame, cfg: DedupConfig) -> Dat
     return sigs.join(rep_ids, "rep_id", "left_semi")
 
 
-def _minhash_band_cols(cfg: DedupConfig):
-    """JVM-side band keys over the minhash signature array: md5-60bit of the
-    comma-joined band slice (same formula as signatures.minhash_bands and the
-    DuckDB oracle SQL — cross-engine checkable)."""
-    cols = []
+# bit 62 of every band key marks a CAPTION (minhash) bucket: it lets one
+# skinny long column carry the per-source cap decision downstream without a
+# band_src string per row (one bit of key entropy traded for a 56-byte-
+# smaller, allocation-free band row — see band_table)
+CAPTION_BIT = 1 << 62
+
+
+def _caption_band_keys(cfg: DedupConfig):
+    """One pre-combined 64-bit key per minhash band: xxhash64 over the band's
+    signature slots directly — no md5/concat/string round-trip."""
+    keys = []
     for band in range(cfg.minhash_bands):
-        chunk = F.slice(F.col("minhash"), band * cfg.minhash_rows + 1, cfg.minhash_rows)
-        joined = F.array_join(F.transform(chunk, lambda x: x.cast("string")), ",")
-        key = F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("long")
-        cols.append(F.struct(F.lit("minhash").alias("band_src"),
-                             F.lit(band).alias("band_idx"),
-                             key.alias("band_val")))
-    return cols
+        elems = [
+            F.col("minhash").getItem(band * cfg.minhash_rows + r)
+            for r in range(cfg.minhash_rows)
+        ]
+        keys.append(
+            F.xxhash64(F.lit(f"mh:{band}"), *elems).bitwiseOR(F.lit(CAPTION_BIT))
+        )
+    return keys
 
 
-def _hash64_band_cols(col_name: str, n_bands: int, src: str, probe_bits: int):
-    """Band keys over a 64-bit signature, with multiprobe expansion: besides
-    the exact band value, emit every single-bit flip of it (probe_bits=1).
-    Symmetric probing makes band values collide iff they differ in <=2 bits;
-    pigeonhole over n_bands then guarantees a collision for total hamming
-    <= n_bands*2 + n_bands - 1 (d<=11 at 4 bands). All JVM-side bit math."""
+def _hash64_band_keys(col_name: str, n_bands: int, tag: str, probe_bits: int):
+    """Pre-combined keys over a 64-bit signature, with multiprobe expansion:
+    besides the exact band value, emit every single-bit flip of it
+    (probe_bits=1). Symmetric probing makes band values collide iff they
+    differ in <=2 bits; pigeonhole over n_bands then guarantees a collision
+    for total hamming <= n_bands*2 + n_bands - 1 (d<=11 at 4 bands). All
+    JVM-side bit math. The image shape folds into the key: near-duplicate
+    pixels always share (w, h) — the PSNR verify returns -inf on a shape
+    mismatch — so dense low-frequency buckets split by shape class for free,
+    with zero recall loss."""
     width = 64 // n_bands
     mask = (1 << width) - 1
-    cols = []
+    keys = []
     for band in range(n_bands):
-        key = F.shiftrightunsigned(F.col(col_name), band * width).bitwiseAND(F.lit(mask))
-        probes = [key]
+        val = F.shiftrightunsigned(F.col(col_name), band * width).bitwiseAND(F.lit(mask))
+        probes = [val]
         if probe_bits >= 1:
-            probes += [key.bitwiseXOR(F.lit(1 << bit)) for bit in range(width)]
+            probes += [val.bitwiseXOR(F.lit(1 << bit)) for bit in range(width)]
         for probe in probes:
-            # fold the image shape into the pixel band key: near-duplicate
-            # pixels always share (w, h) — the PSNR verify returns -inf on a
-            # shape mismatch — so this splits the dense low-frequency band
-            # buckets by shape class for free, with zero recall loss
-            cols.append(F.struct(F.lit(src).alias("band_src"),
-                                 F.lit(band).alias("band_idx"),
-                                 F.xxhash64(probe, F.col("w"), F.col("h")).alias("band_val")))
-    return cols
+            keys.append(
+                F.xxhash64(F.lit(f"{tag}:{band}"), probe, F.col("w"), F.col("h"))
+                .bitwiseAND(F.lit(~CAPTION_BIT))
+            )
+    return keys
 
 
 def band_table(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Explode per-rep signatures into (rep_id, band_src, band_idx, band_val,
-    band_key, phash, simhash). band_key is a single 64-bit shuffle key
-    (xxhash64 of the triple) so the downstream groupBy/join shuffles on one
-    compact long. The two 64-bit pixel signatures ride along (16 bytes/row)
-    so candidate_pairs can hamming-prefilter INLINE at pair generation —
-    no join against a corpus-sized signature table afterwards."""
-    # multiprobe expansion applies to phash ONLY: phash is the primary pixel
-    # band source with the guaranteed hamming<=11 catch. simhash (a diversity
-    # source with much lower entropy on smooth imagery) gets exact bands —
-    # probing it multiplied junk candidate pairs ~17x for negligible recall.
-    all_bands = (
-        _minhash_band_cols(cfg)
-        + _hash64_band_cols("phash", cfg.phash_bands, "phash", cfg.probe_bits)
-        + _hash64_band_cols("simhash", cfg.simhash_bands, "simhash", 0)
+    """Explode per-rep signatures into (rep_id, phash, simhash, band_key).
+
+    band_key is ONE pre-combined 64-bit long per band row (caption buckets
+    flagged via CAPTION_BIT), exploded from an array<long> — an earlier
+    layout exploded an array of 88 (band_src, band_idx, band_val) STRUCTS
+    per row, and the resulting 2.3G struct allocations at 300k images made
+    GC overhead grow with core count (allocation rate scales with
+    parallelism against a fixed heap), directly eroding scaling efficiency.
+    The two 64-bit pixel signatures ride along (16 bytes/row) so
+    candidate_pairs can hamming-prefilter INLINE at pair generation — no
+    join against a corpus-sized signature table afterwards.
+
+    Multiprobe expansion applies to phash ONLY: phash is the primary pixel
+    band source with the guaranteed hamming<=11 catch. simhash (a diversity
+    source with much lower entropy on smooth imagery) gets exact bands —
+    probing it multiplied junk candidate pairs ~17x for negligible recall."""
+    all_keys = (
+        _caption_band_keys(cfg)
+        + _hash64_band_keys("phash", cfg.phash_bands, "ph", cfg.probe_bits)
+        + _hash64_band_keys("simhash", cfg.simhash_bands, "sh", 0)
     )
     # rows without pixel signatures (containers / corrupt payloads, F4) never
     # pass the pixel-authoritative verify — banding them is pure waste
     signatures = signatures.filter(F.col("phash").isNotNull())
-    return (
-        signatures.select(
-            "rep_id", "phash", "simhash", F.explode(F.array(*all_bands)).alias("b")
-        )
-        .select(
-            "rep_id",
-            "phash",
-            "simhash",
-            F.col("b.band_src").alias("band_src"),
-            F.col("b.band_idx").alias("band_idx"),
-            F.col("b.band_val").alias("band_val"),
-        )
-        .withColumn("band_key", F.xxhash64("band_src", "band_idx", "band_val"))
+    return signatures.select(
+        "rep_id", "phash", "simhash",
+        F.explode(F.array(*all_keys)).alias("band_key"),
     )
 
 
@@ -170,19 +174,19 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
         F.min_by("phash", "rep_id").alias("_hub_ph"),
         F.min_by("simhash", "rep_id").alias("_hub_sh"),
     )
-    # per-source cap: caption buckets get a tighter all-pairs window than
-    # pixel buckets (see DedupConfig.max_band_bucket rationale)
-    cap = (
-        F.when(F.col("band_src") == "minhash", F.lit(cfg.minhash_max_bucket))
-        .otherwise(F.lit(cfg.max_band_bucket))
+    # per-source cap via the key's caption bit: caption buckets get a tighter
+    # all-pairs window than pixel buckets (see DedupConfig.max_band_bucket)
+    is_caption = F.col("band_key").bitwiseAND(F.lit(CAPTION_BIT)) != 0
+    cap = F.when(is_caption, F.lit(cfg.minhash_max_bucket)).otherwise(
+        F.lit(cfg.max_band_bucket)
     )
+    src = F.when(is_caption, F.lit("minhash")).otherwise(F.lit("pixel"))
     sized = bands.join(counts, "band_key").withColumn("_cap", cap)
 
     small = sized.filter(F.col("_n") <= F.col("_cap"))
     left = small.select("band_key", F.col("rep_id").alias("id_l"),
                         F.col("phash").alias("_ph_l"),
-                        F.col("simhash").alias("_sh_l"),
-                        F.col("band_src").alias("band_src"))
+                        F.col("simhash").alias("_sh_l"))
     right = small.select("band_key", F.col("rep_id").alias("id_r"),
                          F.col("phash").alias("_ph_r"),
                          F.col("simhash").alias("_sh_r"))
@@ -191,6 +195,7 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
         .filter(F.col("id_l") < F.col("id_r"))
         .filter(_hamming_ok(F.col("_ph_l"), F.col("_sh_l"),
                             F.col("_ph_r"), F.col("_sh_r"), cfg))
+        .select("id_l", "id_r", src.alias("band_src"))
     )
 
     big_pairs = (
@@ -201,13 +206,12 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
         .select(
             F.col("_hub").alias("id_l"),
             F.col("rep_id").alias("id_r"),
-            F.col("band_src").alias("band_src"),
+            src.alias("band_src"),
         )
     )
 
     return (
-        small_pairs.select("id_l", "id_r", "band_src")
-        .unionByName(big_pairs)
+        small_pairs.unionByName(big_pairs)
         .groupBy("id_l", "id_r")
         .agg(F.min("band_src").alias("band_src"))
     )
