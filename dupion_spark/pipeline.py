@@ -102,12 +102,20 @@ def run_pipeline(
     )
     reps = mgr.stage("reps", lambda: exact.representatives(hashes), ["hashes"])
 
+    # signatures has exactly one consumer (bands) and bands' two references
+    # (bucket counts + the sized join) shuffle on the SAME key, so Spark's
+    # ReuseExchange computes the explode once and shares the shuffle output —
+    # materializing either would add a barrier plus a multi-GB checkpoint
+    # write (single-disk in local mode) for no reuse benefit
     sigs = mgr.stage(
         "signatures",
         lambda: features_op.signatures_from_features(feats, reps),
         ["features", "reps"],
+        barrier=False,
     )
-    bands = mgr.stage("bands", lambda: lsh.band_table(sigs, cfg), ["signatures"])
+    bands = mgr.stage(
+        "bands", lambda: lsh.band_table(sigs, cfg), ["signatures"], barrier=False
+    )
     # candidate generation prefilters + dedupes inline (operators/lsh): the
     # materialized pairs table IS the verify input — raw band-collision pairs
     # never hit a barrier or a shuffle
