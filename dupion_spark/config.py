@@ -51,7 +51,7 @@ class DedupConfig:
     # has low entropy on smooth imagery, so sh <= 12 admits unrelated pairs —
     # measured on the 100k fixture, least() passed 149k pairs of which 145.8k
     # were simhash-only junk that verify then rejected (98.6% wasted decodes).
-    prefilter_hamming: int = 12
+    prefilter_hamming: int = 12   # <= 0 disables the prefilter entirely
     simhash_prefilter_hamming: int = 3
     psnr_threshold_db: float = 40.0   # lossy-format pixel allclose gate
     lcs_min_len: int = 12             # suffix-array LCS length reported/gated

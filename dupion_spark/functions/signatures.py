@@ -38,18 +38,101 @@ def char_shingles(text: str, k: int) -> list[str]:
     return sorted({text[i : i + k] for i in range(len(text) - k + 1)})
 
 
-def minhash_signature(text: str, cfg: DedupConfig) -> np.ndarray:
-    """MinHash signature (int64[minhash_k]) over character shingles of `text`.
+# MinHash shingle hashing: splitmix64-style chaining over the shingle's code
+# points, vectorized ACROSS every shingle of every caption in an Arrow batch
+# (minhash_signatures_batch) — replaces a per-shingle `hashlib.md5` call in
+# the feature-extraction row loop (~1 interpreter call per caption character,
+# the dominant non-decode CPU at 10^12 rows; the vectorized simhash migration
+# measured ~90x for the same md5->splitmix swap). NOT oracle-shared:
+# image-caption minhash values feed only the internal LSH band keys, so the
+# mix function is free to choose (golden cluster oracles assert planted
+# structure, not hash values). The md5_60bit primitive above remains the
+# cross-engine hash for the SQL-oracle document path (queries.py), which is a
+# separate, SQL-expressed implementation.
+_MH_SEED = np.uint64(0x51_7C_C1_B7_27_22_0A_95)
+_MH_MULT = np.uint64(0xC2B2AE3D27D4EB4F)
+_PAD_CP = np.uint64(0x110000)  # above any valid unicode code point
 
-    h_i(shingle) = (a_i * (md5_60bit(shingle) % M31) + b_i) mod M31, minimized
-    over shingles. Arithmetic fits uint64 (a,base < 2^31), matching SQL BIGINT.
-    """
-    shingles = char_shingles(text, cfg.shingle_k)
-    bases = np.array([md5_60bit(s) % MERSENNE_31 for s in shingles], dtype=np.uint64)
-    params = np.array(cfg.minhash_params(), dtype=np.uint64)  # (k, 2)
-    # (k, n_shingles) = a[:,None]*bases[None,:] + b[:,None]  mod M31
-    products = params[:, :1] * bases[None, :] + params[:, 1:2]
-    return (products % np.uint64(MERSENNE_31)).min(axis=1).astype(np.int64)
+
+def _splitmix_chain(windows: np.ndarray) -> np.ndarray:
+    """(n_windows, k) uint64 code-point windows -> (n_windows,) uint64 hashes."""
+    with np.errstate(over="ignore"):
+        x = np.full(windows.shape[0], _MH_SEED, dtype=np.uint64)
+        for j in range(windows.shape[1]):
+            x ^= windows[:, j] * _MH_MULT
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+    return x
+
+
+@lru_cache(maxsize=8)
+def _minhash_params_array(seed: int, k: int) -> np.ndarray:
+    """cfg.minhash_params() as a cached uint64 array — the derivation runs 64
+    sha256 calls, which dominated the per-caption cost when recomputed per
+    row inside the feature UDF loop."""
+    from dupion_spark.config import DedupConfig as _Cfg
+
+    cfg = _Cfg(minhash_seed=seed, minhash_k=k)
+    return np.array(cfg.minhash_params(), dtype=np.uint64)
+
+
+def minhash_signatures_batch(texts, cfg: DedupConfig) -> np.ndarray:
+    """MinHash signatures for a whole batch of texts at once -> (n, minhash_k)
+    int64. One flat window array + per-hash `np.minimum.reduceat` segment
+    mins, so the numpy call overhead amortizes over the batch (~10x the
+    per-text path on Arrow-batch-sized inputs).
+
+    h_i(shingle) = (a_i * (hash64(shingle) % M31) + b_i) mod M31, minimized
+    over the text's character k-shingles (as a multiset — min is duplicate-
+    insensitive). Texts shorter than k hash as one shingle, padded to k with
+    an out-of-range sentinel code point. Arithmetic fits uint64
+    (a, base < 2^31), matching SQL BIGINT."""
+    k = cfg.shingle_k
+    n = len(texts)
+    if n == 0:
+        return np.empty((0, cfg.minhash_k), dtype=np.int64)
+    # ONE concatenated code-point array with k-1 pad sentinels between texts:
+    # a single sliding_window_view covers every text's windows as a view (a
+    # per-text window-copy loop measured 3x the cost of everything else);
+    # a short text's single window reads its chars + trailing pads, which IS
+    # the pad-to-k semantics. Valid window start offsets are computed
+    # vectorized and gathered once.
+    pad_char = int(_PAD_CP).to_bytes(4, "little")
+    # empty texts encode as ONE pad char so their window never reads the
+    # neighbor text's chars — hashing must not depend on batch composition
+    # (the file path and the DataFrame path batch rows differently)
+    encoded = [(t or "").encode("utf-32-le") or pad_char for t in texts]
+    lens = np.array([len(e) // 4 for e in encoded], dtype=np.int64)
+    pad_seq = pad_char * (k - 1)
+    concat = np.frombuffer(
+        b"".join(e + pad_seq for e in encoded) + pad_seq, dtype=np.uint32
+    ).astype(np.uint64)
+    offs = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1] + (k - 1), out=offs[1:])
+    counts = np.maximum(lens - k + 1, 1)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    # window index w (0..sum(counts)) -> concat offset: offs[i] + (w - starts[i])
+    total = int(counts.sum())
+    owner_off = np.repeat(offs - starts, counts)
+    valid_idx = np.arange(total, dtype=np.int64) + owner_off
+    windows = np.lib.stride_tricks.sliding_window_view(concat, k)[valid_idx]
+    bases = _splitmix_chain(windows) % np.uint64(MERSENNE_31)
+    params = _minhash_params_array(cfg.minhash_seed, cfg.minhash_k)
+    m31 = np.uint64(MERSENNE_31)
+    sig = np.empty((n, cfg.minhash_k), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for i in range(cfg.minhash_k):
+            x = (params[i, 0] * bases + params[i, 1]) % m31
+            sig[:, i] = np.minimum.reduceat(x, starts).astype(np.int64)
+    return sig
+
+
+def minhash_signature(text: str, cfg: DedupConfig) -> np.ndarray:
+    """Single-text wrapper over minhash_signatures_batch (same values by
+    construction — the file path and the DataFrame path must agree)."""
+    return minhash_signatures_batch([text], cfg)[0]
 
 
 def minhash_bands(signature: np.ndarray, cfg: DedupConfig) -> list[int]:

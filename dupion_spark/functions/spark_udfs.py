@@ -55,9 +55,8 @@ def make_minhash_udf(cfg: DedupConfig):
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def minhash(captions: pd.Series) -> pd.Series:
-        return pd.Series(
-            [signatures.minhash_signature(c or "", cfg).tolist() for c in captions]
-        )
+        sigs = signatures.minhash_signatures_batch(list(captions), cfg)
+        return pd.Series(list(sigs.tolist()))
 
     return minhash
 

@@ -17,9 +17,7 @@ itself is not SQL-expressible — the golden table IS its expected output.
 
 The driver runs correctness at sf=0.01, so the oracle SQL binds to that
 fixture directory (the Spark side follows whatever sf_dir it is given; at
-other scales the oracles don't apply). img_tree_rows stays rows-only: its
-relational semantics are already oracle-checked by o3_tree_sort /
-p2_tree_export.
+other scales the oracles don't apply).
 """
 
 from __future__ import annotations
@@ -250,8 +248,9 @@ FROM a FULL OUTER JOIN b USING (rel_name)
 def q_img_tree_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2/O3 tree node table over the image fixture (operators/tree.py):
     per-node label, reference child sort rank, and the 4-member DUPS preview.
-    Rows-only driver check — the tree-sort/export SEMANTICS are oracle-checked
-    relationally by o3_tree_sort and p2_tree_export."""
+    Value-checked against the single-process golden_tree table (labels,
+    ranks, previews are deterministic functions of golden_features +
+    partition_map — sources/synth.py)."""
     from dupion_spark.operators import rollup as rollup_op
     from dupion_spark.operators.tree import tree_rows
 
@@ -261,6 +260,12 @@ def q_img_tree_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = exact.exact_hash_table(images, cfg).localCheckpoint(eager=False)
     roll = rollup_op.rollup_table(hashes, parts)
     return tree_rows(hashes, parts, roll)
+
+
+SQL_IMG_TREE_ROWS = f"""
+SELECT parent, name, icon, icon_prio, dups, size, label, child_rank, preview
+FROM {_g('golden_tree')}
+"""
 
 
 def image_queries():
@@ -276,8 +281,7 @@ def image_queries():
 
 
 def image_oracle_sql():
-    """DuckDB oracles over the materialized golden tables (see module doc).
-    img_tree_rows is intentionally absent (rows-only)."""
+    """DuckDB oracles over the materialized golden tables (see module doc)."""
     ensure_oracle_fixture()
     return {
         "img_exact_groups": SQL_IMG_EXACT_GROUPS,
@@ -286,4 +290,5 @@ def image_oracle_sql():
         "img_rollup": SQL_IMG_ROLLUP,
         "img_groups_shadow": SQL_IMG_GROUPS_SHADOW,
         "img_treediff": SQL_IMG_TREEDIFF,
+        "img_tree_rows": SQL_IMG_TREE_ROWS,
     }

@@ -94,24 +94,27 @@ def connected_components(
     Nodes appearing in no edge are NOT returned — callers union singletons via
     `attach_singletons`."""
     t0 = time.time()
+    # LAZY checkpoints throughout: each round's convergence-check collect is
+    # the ONE job that materializes (and caches) that round's star outputs —
+    # lazy localCheckpoint still truncates the logical plan at first
+    # materialization (each star embeds its input plan ~3x, so anything less
+    # makes Catalyst re-optimization explode exponentially by round 3;
+    # persist() caches data but does NOT truncate plans). The previous layout
+    # ran 3 jobs per round (eager large, eager small, signature collect);
+    # each job is ~1s of parallelism-independent wall in local mode, so on a
+    # 4-round graph that alone was ~8s of serial L. On a real cluster with a
+    # reliable checkpoint dir configured, swap localCheckpoint for
+    # checkpoint() to keep fault tolerance.
     current = (
         edges.select("id_l", "id_r").filter(F.col("id_l") != F.col("id_r")).distinct()
-    ).localCheckpoint(eager=True)
-    _dbg(f"initial materialize {time.time() - t0:.1f}s")
-    prev_sig = _signature(current)
-    _dbg(f"initial signature {prev_sig}")
+    ).localCheckpoint(eager=False)
+    prev_sig = _signature(current)  # materializes `current`
+    _dbg(f"initial materialize+signature {prev_sig} {time.time() - t0:.1f}s")
     for iteration in range(max_iterations):
         t0 = time.time()
-        # checkpoint BOTH star outputs eagerly, every iteration. This is not
-        # (only) about recompute: each star embeds its input plan ~3x, so the
-        # un-truncated logical plan grows ~9x per iteration and Catalyst
-        # re-optimization time explodes exponentially by round 3 — persist()
-        # caches data but does NOT truncate plans; checkpoint does. On a real
-        # cluster with a reliable checkpoint dir configured, swap
-        # localCheckpoint for checkpoint() to keep fault tolerance.
-        large = _large_star(current).localCheckpoint(eager=True)
-        nxt = _small_star(large).localCheckpoint(eager=True)
-        sig = _signature(nxt)
+        large = _large_star(current).localCheckpoint(eager=False)
+        nxt = _small_star(large).localCheckpoint(eager=False)
+        sig = _signature(nxt)  # one job: materializes large, then nxt
         current = nxt
         _dbg(f"round {iteration} sig={sig} dt={time.time() - t0:.1f}s")
         if sig == prev_sig:

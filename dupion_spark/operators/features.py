@@ -23,9 +23,7 @@ the manifest, read data files directly in the workers, emit features.
 
 from __future__ import annotations
 
-import glob
 import hashlib
-import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -48,12 +46,15 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("minhash", T.ArrayType(T.LongType())),
         T.StructField("simhash", T.LongType()),
         T.StructField("phash", T.LongType()),
-        # payload locator: which (file, row group) holds this row's bytes —
-        # lets downstream stages (pair verification) re-fetch payloads
-        # worker-side instead of shipping binary columns through joins/Arrow.
-        # Null on the DataFrame-input fallback path.
+        # payload locator: which (file, row group, row position) holds this
+        # row's bytes — lets downstream stages (pair verification) re-fetch
+        # payloads worker-side instead of shipping binary columns through
+        # joins/Arrow, and `take` exactly the needed rows instead of
+        # materializing whole row groups. Null on the DataFrame-input
+        # fallback path.
         T.StructField("src_file", T.StringType()),
         T.StructField("src_rg", T.IntegerType()),
+        T.StructField("src_pos", T.IntegerType()),
     ]
 )
 
@@ -65,15 +66,18 @@ def _extract_rows(table, cfg: DedupConfig, src_file: str = None,
     ids = table.column("image_id").to_pylist()
     blobs = table.column("bytes").to_pylist()
     captions = table.column("caption").to_pylist()
+    # caption MinHash runs BATCHED over the whole row group (one flat shingle
+    # array + segment mins) — per-row hashing paid ~150us of numpy/md5 call
+    # overhead per caption, the dominant non-decode CPU term
+    out["minhash"] = [
+        s.tolist() for s in signatures.minhash_signatures_batch(captions, cfg)
+    ]
     for image_id, blob, caption in zip(ids, blobs, captions):
         pixels = codec.try_decode_image(blob)
         out["image_id"].append(image_id)
         out["byte_len"].append(len(blob))
         out["byte_sha256"].append(hashlib.sha256(blob).hexdigest())
         out["caption"].append(caption or "")
-        out["minhash"].append(
-            signatures.minhash_signature(caption or "", cfg).tolist()
-        )
         if pixels is None:  # non-image payload (container/corrupt): F4 —
             out["pixel_sha256"].append(None)  # byte-hash-only row
             out["w"].append(0)
@@ -95,6 +99,7 @@ def _extract_rows(table, cfg: DedupConfig, src_file: str = None,
     frame["phash"] = pd.array(out["phash"], dtype="Int64")
     frame["src_file"] = src_file
     frame["src_rg"] = pd.Series([src_rg] * len(frame), dtype="Int32")
+    frame["src_pos"] = pd.array(np.arange(len(frame)), dtype="Int32")
     return frame
 
 
@@ -108,10 +113,9 @@ def extract_features_from_files(
     groups for the cluster; the generator here writes 64."""
     import pyarrow.parquet as pq
 
-    if source_path.endswith(".parquet") and os.path.isfile(source_path):
-        files = [source_path]
-    else:
-        files = sorted(glob.glob(os.path.join(source_path, "*.parquet")))
+    from dupion_spark.sources.files import list_parquet_files
+
+    files = list_parquet_files(source_path)
     if not files:
         raise ValueError(f"no parquet files under {source_path}")
     # one task per (file, row_group): row groups are the scan-split unit,
@@ -131,13 +135,22 @@ def extract_features_from_files(
                 }
             )
 
-    counts = files_df.mapInPandas(
-        footer, "file string, n_rg int"
-    ).collect()  # one tiny row per FILE (not per image) comes back
-    splits = [(row["file"], rg) for row in counts for rg in range(row["n_rg"])]
-    split_df = spark.createDataFrame(
-        splits, "file string, row_group int"
-    ).repartition(len(splits))
+    # the split list STAYS distributed (explode, no collect): only a scalar
+    # count comes back to size the round-robin fan-out — at 10^6 files a
+    # driver-side split list would serialize planning on one node
+    from pyspark.sql import functions as F
+
+    splits = (
+        files_df.mapInPandas(footer, "file string, n_rg int")
+        .filter(F.col("n_rg") > 0)
+        .select(
+            "file",
+            F.explode(F.sequence(F.lit(0), F.col("n_rg") - 1)).alias("row_group"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    n_splits = splits.count()
+    split_df = splits.repartition(min(n_splits, 4096))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -214,4 +227,5 @@ def features_from_dataframe(images: DataFrame, cfg: DedupConfig) -> DataFrame:
         F.col("_px.phash").alias("phash"),
         F.lit(None).cast("string").alias("src_file"),
         F.lit(None).cast("int").alias("src_rg"),
+        F.lit(None).cast("int").alias("src_pos"),
     )

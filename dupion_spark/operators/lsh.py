@@ -144,7 +144,13 @@ def band_table(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 def _hamming_ok(ph_l, sh_l, ph_r, sh_r, cfg: DedupConfig):
     """Per-source prefilter predicate (see DedupConfig): phash within the
-    multiprobe guarantee band OR simhash within the pigeonhole band."""
+    multiprobe guarantee band OR simhash within the pigeonhole band.
+
+    prefilter_hamming <= 0 DISABLES the prefilter entirely (every band
+    collision goes to verify) — the escape hatch for auditing prefilter
+    recall against raw LSH output."""
+    if cfg.prefilter_hamming <= 0:
+        return F.lit(True)
     ph_ham = F.bit_count(ph_l.bitwiseXOR(ph_r))
     sh_ham = F.bit_count(sh_l.bitwiseXOR(sh_r))
     return (ph_ham <= cfg.prefilter_hamming) | (
@@ -164,10 +170,29 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
     table after — the dedup was the single biggest shuffle of the pipeline.
 
     Small buckets -> all-pairs self-join (AQE skew-join handles residual skew);
-    buckets over the per-source cap -> STAR links to the bucket minimum
-    (linear in bucket size, and — unlike chain links — the bucket subgraph is
-    already a star, so connected components converges on it in one round
-    instead of O(log chain-length))."""
+    buckets over the per-source cap -> linear-cost fallbacks by source:
+
+    CAPTION over-cap buckets: STAR links to the bucket minimum (linear, and —
+    unlike chain links — the bucket subgraph is already a star, so connected
+    components converges on it in one round instead of O(log chain-length)).
+    Caption buckets carry no recall obligation: a genuine near-dup pair
+    (pixel PSNR >= 40) is guaranteed a phash band collision by the multiprobe
+    pigeonhole, so pixel buckets always cover it; boilerplate-caption buckets
+    are impure and their pairs can never pass the pixel-authoritative verify.
+
+    PIXEL over-cap buckets: RECURSIVE SUB-BANDING, because star links cannot
+    carry recall through the verify gate — a hub edge only survives if the
+    member is a near-dup OF THE HUB, so two members near each other but far
+    from the hub would lose connectivity (the round-2 latent recall hole).
+    Instead, members of an over-cap pixel bucket are re-bucketed by 8 sub-
+    bands of 8 phash bits with 1-bit multiprobe: a pair at total hamming <=
+    11 has <= 1 differing bit in SOME sub-band (pigeonhole over 8), and 1-bit
+    symmetric probing collides at <= 2, so every genuine near pair lands in a
+    shared sub-bucket and gets a DIRECT, verifiable edge. Sub-buckets under
+    the cap run all-pairs; sub-buckets still over the cap (phash-identical
+    mega-clusters, where every member IS near the hub and star edges do pass
+    verify) fall back to star links. Cost is linear: 72 sub-rows per over-cap
+    member, emitted only for the over-cap slice."""
     counts = bands.groupBy("band_key").agg(
         F.count(F.lit(1)).alias("_n"),
         F.min("rep_id").alias("_hub"),
@@ -198,20 +223,82 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
         .select("id_l", "id_r", src.alias("band_src"))
     )
 
-    big_pairs = (
-        sized.filter(F.col("_n") > F.col("_cap"))
+    big = sized.filter(F.col("_n") > F.col("_cap"))
+
+    # caption over-cap buckets: star links to the hub, hub-hamming filtered
+    # (recall is carried by the pixel bands — see docstring)
+    caption_star = (
+        big.filter(is_caption)
         .filter(F.col("rep_id") != F.col("_hub"))
         .filter(_hamming_ok(F.col("_hub_ph"), F.col("_hub_sh"),
                             F.col("phash"), F.col("simhash"), cfg))
         .select(
             F.col("_hub").alias("id_l"),
             F.col("rep_id").alias("id_r"),
-            src.alias("band_src"),
+            F.lit("minhash").alias("band_src"),
+        )
+    )
+
+    # pixel over-cap buckets: second-level sub-banding (8 sub-bands of 8
+    # phash bits, 1-bit multiprobe) over the DISTINCT over-cap member set —
+    # global scope, not per parent bucket: the pigeonhole guarantee works on
+    # the full 64-bit phash regardless of scope, and per-bucket scoping would
+    # make a mega-cluster member (over-cap in all ~70 of its probe buckets)
+    # emit 72 sub-rows per bucket instead of 72 total. Shape is NOT in the
+    # sub key (band rows don't carry w/h); cross-shape sub-collisions are
+    # junk pairs bounded by the sub-bucket cap and killed by the hamming
+    # prefilter / PSNR shape gate.
+    sub_keys = []
+    for sub in range(8):
+        val = F.shiftrightunsigned(F.col("phash"), sub * 8).bitwiseAND(F.lit(0xFF))
+        for probe in [val] + [val.bitwiseXOR(F.lit(1 << bit)) for bit in range(8)]:
+            sub_keys.append(F.xxhash64(F.lit(f"sub:{sub}"), probe))
+    sub = (
+        big.filter(~is_caption)
+        .select("rep_id", "phash", "simhash")
+        .distinct()
+        .select("rep_id", "phash", "simhash",
+                F.explode(F.array(*sub_keys)).alias("sub_key"))
+    )
+    sub_counts = sub.groupBy("sub_key").agg(
+        F.count(F.lit(1)).alias("_sn"),
+        F.min("rep_id").alias("_shub"),
+        F.min_by("phash", "rep_id").alias("_shub_ph"),
+        F.min_by("simhash", "rep_id").alias("_shub_sh"),
+    )
+    sub_sized = sub.join(sub_counts, "sub_key")
+    sub_small = sub_sized.filter(F.col("_sn") <= F.lit(cfg.max_band_bucket))
+    sub_left = sub_small.select("sub_key", F.col("rep_id").alias("id_l"),
+                                F.col("phash").alias("_ph_l"),
+                                F.col("simhash").alias("_sh_l"))
+    sub_right = sub_small.select("sub_key", F.col("rep_id").alias("id_r"),
+                                 F.col("phash").alias("_ph_r"),
+                                 F.col("simhash").alias("_sh_r"))
+    sub_pairs = (
+        sub_left.join(sub_right, "sub_key")
+        .filter(F.col("id_l") < F.col("id_r"))
+        .filter(_hamming_ok(F.col("_ph_l"), F.col("_sh_l"),
+                            F.col("_ph_r"), F.col("_sh_r"), cfg))
+        .select("id_l", "id_r", F.lit("pixel").alias("band_src"))
+    )
+    # sub-buckets still over the cap are phash-near-identical mega-groups:
+    # every member is near the sub-hub, so star edges do pass verify there
+    sub_star = (
+        sub_sized.filter(F.col("_sn") > F.lit(cfg.max_band_bucket))
+        .filter(F.col("rep_id") != F.col("_shub"))
+        .filter(_hamming_ok(F.col("_shub_ph"), F.col("_shub_sh"),
+                            F.col("phash"), F.col("simhash"), cfg))
+        .select(
+            F.col("_shub").alias("id_l"),
+            F.col("rep_id").alias("id_r"),
+            F.lit("pixel").alias("band_src"),
         )
     )
 
     return (
-        small_pairs.unionByName(big_pairs)
+        small_pairs.unionByName(caption_star)
+        .unionByName(sub_pairs)
+        .unionByName(sub_star)
         .groupBy("id_l", "id_r")
         .agg(F.min("band_src").alias("band_src"))
     )

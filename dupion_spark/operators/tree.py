@@ -112,19 +112,25 @@ def tree_rows(
         F.lit(" "),
         F.col("size").cast("string"),
     )
-    win = Window.partitionBy("parent").orderBy(
+    # child_rank = row_number per parent in the reference child order
+    # (tree.rs:68). NOT a bare Window.partitionBy("parent"): every dir node
+    # shares the synthetic parent '', so at 10^6 partitions that window
+    # one-tasks the dir ranking — with_rank computes the identical ranks via
+    # range-partition + per-parent offsets (operators/ranking.py).
+    from dupion_spark.operators.ranking import with_rank
+
+    sort_cols = [
         F.col("icon_prio").asc(),
         _clamped(F.col("dups")).desc(),
         F.col("size").desc(),
         F.col("name").asc(),
-    )
-    return (
-        nodes.withColumn("label", label)
-        .withColumn("child_rank", F.row_number().over(win))
-        .select(
-            "parent", "name", "icon", "icon_prio", "dups", "size",
-            "label", "child_rank", "preview",
-        )
+    ]
+    return with_rank(
+        nodes.withColumn("label", label), sort_cols, "child_rank",
+        partition_cols=["parent"],
+    ).select(
+        "parent", "name", "icon", "icon_prio", "dups", "size",
+        "label", "child_rank", "preview",
     )
 
 
@@ -142,7 +148,11 @@ def assemble_tree_json(rows: DataFrame) -> str:
     def node(r) -> dict | str:
         if r["dups"] > 1 and r["preview"]:
             return {m: " " for m in r["preview"].split(";")}
-        kids = by_parent.get(r["name"], [])
+        # only dir/archive nodes resolve children: a FILE whose rel_name
+        # happens to equal some partition's part_key must not adopt that
+        # partition's children (parent keys and file names are different
+        # namespaces)
+        kids = by_parent.get(r["name"], []) if r["icon"] in ("D", "A") else []
         if not kids:
             return " "
         return {k["label"]: node(k) for k in kids}

@@ -51,32 +51,41 @@ def gather_payloads(pairs: DataFrame, features: DataFrame) -> DataFrame:
     ids = pairs.select(F.col("id_l").alias("image_id")).unionByName(
         pairs.select(F.col("id_r").alias("image_id"))
     ).distinct()
-    loc = features.select("image_id", "src_file", "src_rg", "caption").join(
-        ids, "image_id", "left_semi"
-    )
+    loc = features.select(
+        "image_id", "src_file", "src_rg", "src_pos", "caption"
+    ).join(ids, "image_id", "left_semi")
     spark = pairs.sparkSession
     n_parts = max(spark.sparkContext.defaultParallelism * 2, 8)
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         for pdf in batches:
-            needed: dict[tuple[str, int], dict[str, str]] = {}
-            for f, rg, i, cap in zip(pdf["src_file"], pdf["src_rg"],
-                                     pdf["image_id"], pdf["caption"]):
-                needed.setdefault((f, int(rg)), {})[i] = cap
+            # row POSITIONS carried from the feature pass: read only the
+            # bytes column and `take` exactly the needed rows — no id-column
+            # decode, no whole-row-group blob materialization. (The column
+            # chunk itself still decompresses as a unit; true byte-range page
+            # reads come from the table format's page index in production.)
+            needed: dict[tuple[str, int], list[tuple[int, str, str]]] = {}
+            for f, rg, pos, i, cap in zip(pdf["src_file"], pdf["src_rg"],
+                                          pdf["src_pos"], pdf["image_id"],
+                                          pdf["caption"]):
+                needed.setdefault((f, int(rg)), []).append((int(pos), i, cap))
             out_ids, out_bytes, out_caps = [], [], []
-            for (f, rg), id_caps in needed.items():
-                table = pq.ParquetFile(f).read_row_group(
-                    rg, columns=["image_id", "bytes"]
+            for (f, rg), rows in needed.items():
+                rows.sort()
+                positions = pa.array([p for p, _, _ in rows], type=pa.int64())
+                blob_col = (
+                    pq.ParquetFile(f)
+                    .read_row_group(rg, columns=["bytes"])
+                    .column("bytes")
+                    .take(positions)
                 )
-                rg_ids = table.column("image_id").to_pylist()
-                blob_col = table.column("bytes")
-                for n, i in enumerate(rg_ids):
-                    if i in id_caps:
-                        out_ids.append(i)
-                        out_bytes.append(blob_col[n].as_py())
-                        out_caps.append(id_caps[i])
+                for (_, i, cap), blob in zip(rows, blob_col):
+                    out_ids.append(i)
+                    out_bytes.append(blob.as_py())
+                    out_caps.append(cap)
             yield pd.DataFrame(
                 {"image_id": out_ids, "bytes": out_bytes, "caption": out_caps}
             )
@@ -94,12 +103,21 @@ def verified_edges_from_files(
     from storage (no corpus re-scan, no corpus shuffle), then the compact
     slice runs through the same join+UDF verify as the DataFrame path."""
     payload = gather_payloads(pairs, features).localCheckpoint(eager=False)
-    return verified_edges(pairs, payload, cfg)
+    # the gather output is ALREADY pruned to pair endpoints — re-running the
+    # semi-join (and checkpointing the pruned copy a second time) would
+    # double-write the candidate payload bytes through the single local disk
+    return verified_edges(pairs, payload, cfg, payload_pruned=True)
 
 
-def verified_edges(pairs: DataFrame, images: DataFrame, cfg: DedupConfig) -> DataFrame:
+def verified_edges(
+    pairs: DataFrame, images: DataFrame, cfg: DedupConfig,
+    payload_pruned: bool = False,
+) -> DataFrame:
     """pairs(id_l, id_r, band_src) x images -> verified edge table
-    (id_l, id_r, band_src, psnr, lcs_len, passed)."""
+    (id_l, id_r, band_src, psnr, lcs_len, passed).
+
+    payload_pruned: the caller guarantees `images` is already restricted to
+    pair endpoints (and materialized) — skip the endpoint semi-join."""
     payload = images.select("image_id", "bytes", "caption")
     # prune the payload to ids that appear in any pair before joining — at
     # 10^12 rows this keeps the shuffled image slice proportional to the
@@ -110,11 +128,12 @@ def verified_edges(pairs: DataFrame, images: DataFrame, cfg: DedupConfig) -> Dat
     # payload is then MATERIALIZED once, because the plan below references it
     # twice (left and right side) and re-executing the semi-join scan twice
     # doubles the corpus reads.
-    ids = pairs.select(F.col("id_l").alias("image_id")).unionByName(
-        pairs.select(F.col("id_r").alias("image_id"))
-    ).distinct()
-    payload = payload.join(ids, "image_id", "left_semi")
-    payload = payload.localCheckpoint(eager=False)
+    if not payload_pruned:
+        ids = pairs.select(F.col("id_l").alias("image_id")).unionByName(
+            pairs.select(F.col("id_r").alias("image_id"))
+        ).distinct()
+        payload = payload.join(ids, "image_id", "left_semi")
+        payload = payload.localCheckpoint(eager=False)
 
     left = payload.select(
         F.col("image_id").alias("id_l"),

@@ -70,8 +70,13 @@ def run_pipeline(
     # root-stage input fingerprint: a resumed run over changed input data must
     # NOT reuse checkpointed stages (dupion's (ctime,size) validation, F5).
     # File-backed inputs fingerprint by (name, size, mtime); DataFrame inputs
-    # by a one-pass count + order-insensitive id hash over the key column only
-    # (computed only when checkpointing is on — no manifests, no fingerprint).
+    # by a one-pass count + order-insensitive CONTENT hash — id alone is not
+    # enough (a payload/caption edit under an unchanged id must invalidate the
+    # chain, matching the reference's (ctime,size) content validation). One
+    # pass, no shuffle: length(bytes) stands in for the payload so the hash
+    # stays cheap; a same-id same-length byte flip is caught by the file path
+    # (mtime) — the DataFrame path is the small-fixture/test path.
+    # (Computed only when checkpointing is on — no manifests, no fingerprint.)
     input_fp = ""
     if checkpoint_dir:
         if source_path:
@@ -79,7 +84,10 @@ def run_pipeline(
         else:
             row = images.agg(
                 F.count(F.lit(1)).alias("n"),
-                F.coalesce(F.bit_xor(F.xxhash64("image_id")), F.lit(0)).alias("h"),
+                F.coalesce(
+                    F.bit_xor(F.xxhash64("image_id", F.length("bytes"), "caption")),
+                    F.lit(0),
+                ).alias("h"),
             ).collect()[0]
             input_fp = f"df:{row['n']}:{row['h']}"
     mgr = CheckpointManager(spark, checkpoint_dir, cfg, input_fingerprint=input_fp)
@@ -89,9 +97,16 @@ def run_pipeline(
             return features_op.extract_features_from_files(spark, source_path, cfg)
         return features_op.features_from_dataframe(images, cfg)
 
+    # Barrier policy (see CheckpointManager.stage): `features` is the ONLY
+    # eager anchor — everything downstream is either a lazy checkpoint (first
+    # consumer materializes it inside a job that was running anyway; later
+    # consumers read cached blocks) or plain composition. Round-2 measurement:
+    # each eager checkpoint is ~1s of serial, parallelism-independent wall, so
+    # the previous 7-eager-stage layout carried ~7s of pure L per run.
     feats = mgr.stage("features", _features)
     hashes = mgr.stage(
-        "hashes", lambda: features_op.hashes_from_features(feats), ["features"]
+        "hashes", lambda: features_op.hashes_from_features(feats), ["features"],
+        barrier="lazy",
     )
     # exact_groups is a single-consumer output projection — no extra barrier
     # (each eager checkpoint is ~1s of serial wall regardless of cluster size;
@@ -100,7 +115,9 @@ def run_pipeline(
         "exact_groups", lambda: exact.exact_groups(hashes), ["hashes"],
         barrier=False,
     )
-    reps = mgr.stage("reps", lambda: exact.representatives(hashes), ["hashes"])
+    reps = mgr.stage(
+        "reps", lambda: exact.representatives(hashes), ["hashes"], barrier="lazy"
+    )
 
     # signatures has exactly one consumer (bands) and bands' two references
     # (bucket counts + the sized join) shuffle on the SAME key, so Spark's
@@ -118,8 +135,12 @@ def run_pipeline(
     )
     # candidate generation prefilters + dedupes inline (operators/lsh): the
     # materialized pairs table IS the verify input — raw band-collision pairs
-    # never hit a barrier or a shuffle
-    pairs = mgr.stage("pairs", lambda: lsh.candidate_pairs(bands, cfg), ["bands"])
+    # never hit a barrier or a shuffle. Lazy: the verify stage's first action
+    # materializes the whole features→hashes→reps→bands→pairs chain as ONE
+    # Spark job (internal stage DAG, no Python-side sync points between them).
+    pairs = mgr.stage(
+        "pairs", lambda: lsh.candidate_pairs(bands, cfg), ["bands"], barrier="lazy"
+    )
 
     def _verify() -> DataFrame:
         if source_path:
@@ -128,7 +149,8 @@ def run_pipeline(
             return verify.verified_edges_from_files(pairs, feats, cfg)
         return verify.verified_edges(pairs, images, cfg)
 
-    edges = mgr.stage("verified_edges", _verify, ["pairs", "features"])
+    edges = mgr.stage("verified_edges", _verify, ["pairs", "features"],
+                      barrier="lazy")
 
     def _cluster() -> DataFrame:
         near = edges.filter(F.col("passed")).select("id_l", "id_r")
@@ -138,9 +160,11 @@ def run_pipeline(
         )
         return cc.expand_representatives(rep_assign, reps)
 
-    clusters = mgr.stage("clusters", _cluster, ["verified_edges", "reps"])
+    clusters = mgr.stage("clusters", _cluster, ["verified_edges", "reps"],
+                         barrier="lazy")
     canonical = mgr.stage(
-        "canonical", lambda: election.canonical_map(clusters, hashes), ["clusters", "hashes"]
+        "canonical", lambda: election.canonical_map(clusters, hashes),
+        ["clusters", "hashes"], barrier="lazy",
     )
 
     roll = shadows = None
@@ -169,8 +193,11 @@ def run_pipeline(
         )
         lineage = lineage.unionByName(plin)
 
-    # metrics: stage-1 prune ratio (BASELINE.md qualitative metric) + stage rows
-    n_images = images.count()
+    # metrics: stage-1 prune ratio (BASELINE.md qualitative metric) + stage rows.
+    # Counted over the checkpointed feature table (one row per input image) —
+    # re-scanning the input source for a count would be a second full-footer
+    # pass at 10^6-file scale.
+    n_images = feats.count()
     n_hashed = hashes.filter(F.col("pixel_sha256").isNotNull()).count()
     metrics = {
         "n_images": n_images,

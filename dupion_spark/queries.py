@@ -267,8 +267,15 @@ def q_o2_export_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("first_member"),
         F.count(F.lit(1)).alias("n_members"),
     ).filter(F.col("n_members") > 1)
-    win = Window.orderBy(F.col("group_size").desc(), F.col("first_member").asc())
-    return groups.withColumn("export_rank", F.row_number().over(win)).select(
+    # global export rank WITHOUT a single-partition Window.orderBy — exact
+    # same ranks via range-partition + offsets (operators/ranking.with_rank)
+    from dupion_spark.operators.ranking import with_rank
+
+    return with_rank(
+        groups,
+        [F.col("group_size").desc(), F.col("first_member").asc()],
+        "export_rank",
+    ).select(
         "o_custkey", "group_size", "first_member", "n_members", "export_rank"
     )
 

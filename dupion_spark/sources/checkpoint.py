@@ -14,10 +14,14 @@ equivalent is per-STAGE snapshot tables:
   resumed) and a `metrics` table accumulate per run (north_rule: per-partition
   lineage + metrics tables).
 
-On a real deployment these writes target Iceberg tables (writeTo().append(),
-snapshot ids from the catalog); the sandbox has no Iceberg runtime jar, so the
-layout is plain parquet + manifest with identical semantics (SURVEY.md §7
-"hard parts" (e)).
+On a real deployment these writes target Iceberg tables; the manager PROBES
+for a configured Iceberg catalog at construction (`iceberg_catalog`) and,
+when one exists, writes each stage via `df.writeTo(<catalog>.<ns>.<stage>)
+.createOrReplace()` and resumes via `spark.read.table` — snapshot ids come
+from the catalog and land in the manifest. The sandbox has no Iceberg
+runtime jar, so the probe returns None there and the layout falls back to
+plain parquet + manifest with identical semantics (SURVEY.md §7 "hard
+parts" (e)). The Merkle manifest chain is the same in both backends.
 """
 
 from __future__ import annotations
@@ -49,18 +53,44 @@ def fingerprint_files(source_path: str) -> str:
     (name, size, mtime_ns) triples — the graft of dupion's per-row
     (ctime, size) cache validation (vfs/entry.rs:173-198) to file granularity.
     A changed/added/removed input file changes the fingerprint, which changes
-    every manifest hash in the chain, so NOTHING stale is reused."""
-    import glob as _glob
+    every manifest hash in the chain, so NOTHING stale is reused. File
+    discovery is shared with the feature scan (sources/files.py) so the
+    fingerprint covers exactly the files the scan reads."""
+    from dupion_spark.sources.files import list_parquet_files
 
-    if os.path.isfile(source_path):
-        files = [source_path]
-    else:
-        files = sorted(_glob.glob(os.path.join(source_path, "*.parquet")))
+    files = list_parquet_files(source_path)
     h = sha256()
     for f in files:
         st = os.stat(f)
         h.update(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns};".encode())
     return h.hexdigest()[:16]
+
+
+def iceberg_catalog(spark: SparkSession) -> str | None:
+    """Capability probe: the name of a configured Iceberg Spark catalog, or
+    None when the runtime jar / catalog config is absent (this sandbox).
+
+    A catalog counts only if BOTH (a) some `spark.sql.catalog.<name>` points
+    at an Iceberg catalog class and (b) that class actually loads in the JVM
+    — config without the jar would fail at first writeTo, so the probe keeps
+    the fallback decision up front."""
+    try:
+        entries = dict(spark.sparkContext.getConf().getAll())
+    except Exception:  # pragma: no cover - defensive (connect-mode sessions)
+        return None
+    for key, value in entries.items():
+        parts = key.split(".")
+        if (
+            key.startswith("spark.sql.catalog.")
+            and len(parts) == 4
+            and "iceberg" in value.lower()
+        ):
+            try:
+                spark._jvm.java.lang.Class.forName(value)  # noqa: SLF001
+            except Exception:
+                return None
+            return parts[3]
+    return None
 
 
 class CheckpointManager:
@@ -77,8 +107,24 @@ class CheckpointManager:
         self.input_fingerprint = input_fingerprint
         self.records: list[StageRecord] = []
         self._hashes: dict[str, str] = {}
+        # table-format backend: Iceberg when a catalog is configured AND its
+        # class loads; parquet+manifest otherwise. Manifest chain identical.
+        self.catalog = iceberg_catalog(spark) if root else None
+        self.namespace = (
+            os.path.basename(os.path.normpath(root)).replace("-", "_").replace(".", "_")
+            if root
+            else ""
+        )
+        self.table_format = "iceberg" if self.catalog else "parquet+manifest"
         if root:
             os.makedirs(root, exist_ok=True)
+            if self.catalog:
+                self.spark.sql(
+                    f"CREATE NAMESPACE IF NOT EXISTS {self.catalog}.{self.namespace}"
+                )
+
+    def _table_ident(self, stage: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{stage}"
 
     # -- internals -----------------------------------------------------------
     def _manifest_path(self, stage: str) -> str:
@@ -119,27 +165,36 @@ class CheckpointManager:
         build: Callable[[], DataFrame],
         parents: list[str] | None = None,
         materialize: bool = True,
-        barrier: bool = True,
+        barrier: bool | str = True,
     ) -> DataFrame:
         """Run (or resume) a named stage. With no checkpoint root, just builds.
 
-        barrier=False (no-checkpoint-root mode only): skip the eager
-        materialization for stages that are cheap projections of an
-        already-materialized parent — every eager localCheckpoint is a job
-        BARRIER (~1s of parallelism-independent wall each), and a pipeline of
-        a dozen stages pays that serially regardless of cluster size."""
+        barrier (no-checkpoint-root mode only) — three levels, because every
+        EAGER localCheckpoint is a job BARRIER (~1s of parallelism-independent
+        wall each) and a pipeline of a dozen stages pays that serially
+        regardless of cluster size:
+          True    eager localCheckpoint: its own job, plan truncated NOW.
+                  Only for anchor stages whose downstream plan would otherwise
+                  grow past what AQE re-plans cheaply.
+          "lazy"  localCheckpoint(eager=False): NO extra job — the first
+                  consuming action materializes+caches it and truncates the
+                  plan for every later consumer. Multi-consumer stages get
+                  compute-once semantics for free; the barrier cost folds into
+                  a job that was running anyway.
+          False   plain plan composition (single-consumer projections whose
+                  consumers shuffle on the same key — ReuseExchange dedups)."""
         parents = parents or []
         start = time.time()
         if not self.root:
-            # no checkpoint root: eagerly localCheckpoint the stage. Two jobs
-            # done at once: (a) downstream fan-out (clusters/canonical/metrics)
-            # reads materialized data instead of re-executing UDF stages;
-            # (b) the logical plan is TRUNCATED per stage — feeding the whole
-            # multi-stage pipeline to AQE as one giant tree makes it re-plan
-            # the full tree after every shuffle (measured 109s vs 35s for the
-            # same work stage-by-stage at sf0.1).
+            # no checkpoint root: localCheckpoint per the barrier level. Eager
+            # anchors exist because feeding the WHOLE multi-stage pipeline to
+            # AQE as one giant tree makes it re-plan the full tree after every
+            # shuffle (measured 109s vs 35s for the same work stage-by-stage
+            # at sf0.1) — but most stages only need the lazy flavor.
             df = build()
-            if barrier:
+            if barrier == "lazy":
+                df = df.localCheckpoint(eager=False)
+            elif barrier:
                 df = df.localCheckpoint(eager=True)
             self.records.append(StageRecord(name, -1, int((time.time() - start) * 1000), False, ""))
             return df
@@ -153,7 +208,11 @@ class CheckpointManager:
             with open(manifest_path) as fh:
                 on_disk = json.load(fh)
             if self._hash_manifest(on_disk) == expected_hash:
-                df = self.spark.read.parquet(data_path)
+                df = (
+                    self.spark.read.table(self._table_ident(name))
+                    if self.catalog
+                    else self.spark.read.parquet(data_path)
+                )
                 self._hashes[name] = expected_hash
                 self.records.append(
                     StageRecord(name, on_disk.get("rows", -1),
@@ -162,15 +221,29 @@ class CheckpointManager:
                 return df
 
         df = build()
+        snapshot_id = int(time.time() * 1000)
         if materialize:
-            df.write.mode("overwrite").parquet(data_path)
-            df = self.spark.read.parquet(data_path)
+            if self.catalog:
+                # Iceberg backend: stage snapshot via the catalog; the table's
+                # own snapshot id goes into the manifest (resumable lineage)
+                ident = self._table_ident(name)
+                df.writeTo(ident).using("iceberg").createOrReplace()
+                df = self.spark.read.table(ident)
+                snap = self.spark.sql(
+                    f"SELECT snapshot_id FROM {ident}.snapshots "
+                    "ORDER BY committed_at DESC LIMIT 1"
+                ).collect()
+                if snap:
+                    snapshot_id = int(snap[0][0])
+            else:
+                df.write.mode("overwrite").parquet(data_path)
+                df = self.spark.read.parquet(data_path)
             rows = df.count()
         else:
             rows = -1
         wall_ms = int((time.time() - start) * 1000)
         manifest = dict(expected, rows=rows, wall_ms=wall_ms,
-                        snapshot_id=int(time.time() * 1000))
+                        snapshot_id=snapshot_id, table_format=self.table_format)
         with open(manifest_path, "w") as fh:
             json.dump(manifest, fh, sort_keys=True)
         self._hashes[name] = expected_hash

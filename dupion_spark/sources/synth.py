@@ -34,7 +34,7 @@ VOCAB = (
 SIZES = (16, 32, 64)
 
 # bump when the generation logic changes — invalidates materialized fixtures
-SYNTH_VERSION = 4
+SYNTH_VERSION = 5
 
 
 @dataclass
@@ -47,6 +47,9 @@ class SynthResult:
     #                                 pixel_sha256_hex, content_hash — the
     #                                 single-process expected values the
     #                                 DuckDB image-query oracles read
+    golden_tree: pd.DataFrame       # expected tree_rows output (P2/O3/O4):
+    #                                 parent, name, icon, icon_prio, dups,
+    #                                 size, label, child_rank, preview
 
 
 class _Builder:
@@ -290,8 +293,92 @@ def generate(n_rows: int, cfg: DedupConfig | None = None) -> SynthResult:
             prow["part_key"], prow["rel_name"] = overrides[prow["image_id"]]
     partition_map = pd.DataFrame(part_rows)
 
+    # golden tree table: the EXPECTED tree_rows output (operators/tree.py —
+    # reference P2/O3/O4 semantics, dupion/src/output/tree.rs:53-105) computed
+    # single-process from golden_features + partition_map, so img_tree_rows is
+    # value-checked like the other image queries. Node order, labels, ranks
+    # and previews are deterministic functions of the content hashes.
+    feat_by_id = golden_features.set_index("image_id")
+    file_rows = []
+    hash_members: dict[str, list[str]] = {}
+    for prow in part_rows:
+        frow = feat_by_id.loc[prow["image_id"]]
+        hash_members.setdefault(frow["content_hash"], []).append(prow["image_id"])
+    for prow in part_rows:
+        frow = feat_by_id.loc[prow["image_id"]]
+        members = sorted(hash_members[frow["content_hash"]])
+        file_rows.append(
+            {
+                "parent": prow["part_key"],
+                "name": prow["rel_name"],
+                "icon": "F",
+                "icon_prio": 2,
+                "dups": len(members),
+                "size": int(frow["byte_len"]),
+                "preview": ";".join(members[:4]) if len(members) > 1 else "",
+            }
+        )
+    # dir nodes under the synthetic root '' (no archive containers in this
+    # fixture: part_keys are never image ids, so the icon is always 'D')
+    import hashlib as _hl
+
+    by_part: dict[str, list[tuple[str, str]]] = {}
+    part_bytes: dict[str, int] = {}
+    for prow in part_rows:
+        frow = feat_by_id.loc[prow["image_id"]]
+        by_part.setdefault(prow["part_key"], []).append(
+            (prow["rel_name"], frow["content_hash"])
+        )
+        part_bytes[prow["part_key"]] = part_bytes.get(prow["part_key"], 0) + int(
+            frow["byte_len"]
+        )
+    roll_hash = {
+        pk: _hl.sha256(
+            "|".join(sorted(f"{rel}:{ch}" for rel, ch in pairs)).encode()
+        ).hexdigest()
+        for pk, pairs in by_part.items()
+    }
+    roll_members: dict[str, list[str]] = {}
+    for pk, rh in roll_hash.items():
+        roll_members.setdefault(rh, []).append(pk)
+    dir_rows = []
+    for pk in by_part:
+        twins = sorted(roll_members[roll_hash[pk]])
+        dir_rows.append(
+            {
+                "parent": "",
+                "name": pk,
+                "icon": "D",
+                "icon_prio": 0,
+                "dups": len(twins),
+                "size": part_bytes[pk],
+                "preview": ";".join(twins[:4]) if len(twins) > 1 else "",
+            }
+        )
+    tree_nodes = pd.DataFrame(file_rows + dir_rows)
+    tree_nodes["label"] = (
+        pd.Series(np.where(tree_nodes["dups"] > 1, "DUPS", "UNIQ"),
+                  index=tree_nodes.index)
+        + " " + tree_nodes["icon"] + " " + tree_nodes["name"]
+        + " " + tree_nodes["size"].astype(str)
+    )
+    # child_rank: per parent by (icon_prio ASC, clamped-dups DESC, size DESC,
+    # name ASC) — tree.rs:68's order with the [1,2] dup clamp
+    tree_nodes["_clamp"] = tree_nodes["dups"].clip(1, 2)
+    tree_nodes = tree_nodes.sort_values(
+        ["parent", "icon_prio", "_clamp", "size", "name"],
+        ascending=[True, True, False, False, True],
+    ).reset_index(drop=True)
+    tree_nodes["child_rank"] = tree_nodes.groupby("parent").cumcount() + 1
+    golden_tree = tree_nodes[
+        ["parent", "name", "icon", "icon_prio", "dups", "size",
+         "label", "child_rank", "preview"]
+    ].astype({"icon_prio": "int32", "dups": "int64", "size": "int64",
+              "child_rank": "int32"})
+
     return SynthResult(
-        images, golden_clusters, golden_pairs, partition_map, golden_features
+        images, golden_clusters, golden_pairs, partition_map, golden_features,
+        golden_tree,
     )
 
 
@@ -326,7 +413,8 @@ def materialize(out_dir: str, n_rows: int, cfg: DedupConfig | None = None) -> Sy
             row_group_size=512,
         )
         for name in (
-            "golden_clusters", "golden_pairs", "partition_map", "golden_features"
+            "golden_clusters", "golden_pairs", "partition_map",
+            "golden_features", "golden_tree",
         ):
             pq.write_table(
                 pa.Table.from_pandas(getattr(result, name), preserve_index=False),

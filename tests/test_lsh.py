@@ -1,0 +1,98 @@
+"""Candidate-pair generation: over-cap bucket recall (the round-2 latent hole).
+
+Scenario (VERDICT r2 "What's wrong" #2): a genuine near pair (phash hamming
+<= 11, guaranteed a shared band by the multiprobe pigeonhole) whose only
+shared bucket is OVER the all-pairs cap, where neither member is the bucket
+hub and both sit > 12 bits from it. Filtered star links drop both hub edges,
+so the pair lost all connectivity. The fix sub-bands over-cap pixel buckets
+(8 sub-bands of 8 phash bits, 1-bit probes), which must emit the DIRECT
+(A, B) candidate pair.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import types as T
+
+from dupion_spark.config import DedupConfig
+from dupion_spark.operators import lsh
+
+SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("rep_id", T.StringType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("minhash", T.ArrayType(T.LongType())),
+        T.StructField("simhash", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def _signed(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a & ((1 << 64) - 1)) ^ (b & ((1 << 64) - 1))).count("1")
+
+
+def _phash(b0: int, b1: int, b2: int, b3: int) -> int:
+    return _signed(b0 | (b1 << 16) | (b2 << 32) | (b3 << 48))
+
+
+def _rows():
+    """22 members of one over-cap band-0 bucket (shared 16-bit slice 0x1234):
+    20 flood members + the near pair (A, B). A and B agree exactly on band 0,
+    differ 3 bits in each of bands 1-3 (total hamming 9 <= 11, and >= 3 per
+    band so NO other top-level band collides even with 1-bit probes). Every
+    flood member (including the bucket-min hub f00) is ~48 bits from both A
+    and B, so hub-hamming-filtered star links would drop the pair."""
+    rows = []
+    for i in range(20):
+        ph = _phash(0x1234, 0x5555 ^ (i * 0x0101), 0x6666 ^ (i * 0x0303),
+                    0x7777 ^ (i * 0x0505))
+        sh = _signed(0x0123_4567_89AB_CDEF ^ (i * 0x1111_2222_3333_4444))
+        mh = [1_000_000 + i * 64 + j for j in range(64)]
+        rows.append((f"f{i:02d}", 64, 64, mh, sh, ph))
+    ph_a = _phash(0x1234, 0xAAAA, 0xBBBB, 0xCCCC)
+    ph_b = _phash(0x1234, 0xAAAA ^ 0x7, 0xBBBB ^ 0x7, 0xCCCC ^ 0x7)
+    # simhashes with every 16-bit slice distinct -> no simhash band collision
+    rows.append(("x_a", 64, 64, [2_000_000 + j for j in range(64)],
+                 _signed(0x0F0F_0F0F_0F0F_0F0F), ph_a))
+    rows.append(("x_b", 64, 64, [3_000_000 + j for j in range(64)],
+                 _signed(0xF0F0_F0F0_F0F0_F0F0), ph_b))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def planted_pairs(spark):
+    cfg = DedupConfig()
+    sigs = spark.createDataFrame(_rows(), SIG_SCHEMA)
+    bands = lsh.band_table(sigs, cfg)
+    return lsh.candidate_pairs(bands, cfg).collect()
+
+
+def test_hamming(spark):
+    a = next(r for r in _rows() if r[0] == "x_a")
+    b = next(r for r in _rows() if r[0] == "x_b")
+    assert _ham(a[5], b[5]) == 9
+    hub = next(r for r in _rows() if r[0] == "f00")
+    for x in (a, b):
+        assert _ham(hub[5], x[5]) > 12
+
+
+def test_overcap_near_pair_survives(planted_pairs):
+    got = {(r["id_l"], r["id_r"]) for r in planted_pairs}
+    assert ("x_a", "x_b") in got
+
+
+def test_overcap_bucket_is_actually_overcap(spark):
+    cfg = DedupConfig()
+    sigs = spark.createDataFrame(_rows(), SIG_SCHEMA)
+    bands = lsh.band_table(sigs, cfg)
+    from pyspark.sql import functions as F
+
+    sizes = bands.groupBy("band_key").count().agg(F.max("count")).collect()[0][0]
+    assert sizes == 22 > cfg.max_band_bucket
