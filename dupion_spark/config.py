@@ -58,16 +58,21 @@ class DedupConfig:
     require_caption_lcs: bool = False # if True, edges need LCS >= lcs_min_len too
 
     # --- skew / scale guards ------------------------------------------------
-    # buckets larger than the cap use STAR links (member -> bucket min)
-    # instead of all-pairs: linear cost, connectivity preserved for CC.
-    # Pixel-band buckets are content-pure (same band bits ~ similar pixels),
-    # so a moderate all-pairs window is cheap insurance; caption (minhash)
-    # buckets can be IMPURE junk (boilerplate captions over unrelated images)
-    # and caption-only pairs can never pass the pixel-authoritative verify,
-    # so their all-pairs expansion is pure waste — cap them hard. Measured on
-    # the 100k fixture: caps (64, 64) generated 23.6M raw pairs; (16, 8) cut
-    # the pair stage ~10x with recall unchanged (golden-oracle gate).
-    max_band_bucket: int = 16     # all-pairs window for pixel-band buckets
+    # buckets larger than the cap leave the all-pairs path: caption buckets
+    # fall back to hub STAR links, pixel buckets to sub-band refinement
+    # (operators/lsh.candidate_pairs). The pixel cap must absorb the 1-bit
+    # multiprobe's ~17x occupancy inflation: a probe bucket collects every
+    # rep within 1 bit of its value, so typical buckets run ~17x larger than
+    # exact-band buckets and a cap tuned for exact occupancy (16, round 2)
+    # pushed 87% of band rows into the over-cap fallback — both a recall
+    # drain and a second corpus-sized pass. With the hamming prefilter
+    # running INLINE in the join's codegen (no raw-pair materialization),
+    # all-pairs is cheap far beyond that: measured on the 300k fixture,
+    # cap 256 = 334M raw comparisons (~seconds of codegen) with only 433
+    # genuinely-hot buckets (mega-clusters) left for the sub-band cascade.
+    # Caption buckets keep a hard cap: boilerplate captions over unrelated
+    # images are quadratic junk that pixel-authoritative verify rejects.
+    max_band_bucket: int = 256    # all-pairs window for pixel-band buckets
     minhash_max_bucket: int = 8   # all-pairs window for caption-band buckets
     salt_buckets: int = 16        # salted repartition fan-out for hot band keys
 

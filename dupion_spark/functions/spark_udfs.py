@@ -146,10 +146,25 @@ def make_verify_udf(cfg: DedupConfig):
     def verify(
         bytes_l: pd.Series, bytes_r: pd.Series, cap_l: pd.Series, cap_r: pd.Series
     ) -> pd.DataFrame:
+        # per-batch decode memo: star links repeat one hub across thousands
+        # of pairs, and without the memo the hub re-decodes once PER PAIR
+        # (a 3000-member star = 3000 decodes of the same bytes). Keyed by
+        # the payload bytes; capped so a pathological batch of all-distinct
+        # large images cannot hold ~batch_size decoded arrays in memory.
+        memo: dict[bytes, object] = {}
+
+        def decode(blob: bytes):
+            hit = memo.get(blob)
+            if hit is None and blob not in memo:
+                hit = codec.try_decode_image(blob)
+                if len(memo) < 512:
+                    memo[blob] = hit
+            return hit
+
         psnrs, lcs_lens, passed = [], [], []
         for bl, br, cl, cr in zip(bytes_l, bytes_r, cap_l, cap_r):
-            pl = codec.try_decode_image(bytes(bl))
-            pr = codec.try_decode_image(bytes(br))
+            pl = decode(bytes(bl))
+            pr = decode(bytes(br))
             psnr = (
                 codec.psnr_db(pl, pr)
                 if pl is not None and pr is not None

@@ -55,12 +55,20 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("src_file", T.StringType()),
         T.StructField("src_rg", T.IntegerType()),
         T.StructField("src_pos", T.IntegerType()),
+        # sid: data-derived LONG surrogate id (file_idx<<40 | rg<<20 | pos on
+        # the file path; monotonically_increasing_id on the DataFrame path,
+        # stable because the feature stage is materialized). The LSH band
+        # explode and pair self-joins shuffle and compare sid instead of the
+        # string image_id — 310M string compares in the join condition and
+        # ~40% of the band-row shuffle bytes were id strings. Strings are
+        # restored by a join on the tiny pair output only.
+        T.StructField("sid", T.LongType()),
     ]
 )
 
 
 def _extract_rows(table, cfg: DedupConfig, src_file: str = None,
-                  src_rg: int = None) -> pd.DataFrame:
+                  src_rg: int = None, file_idx: int = None) -> pd.DataFrame:
     out = {k: [] for k in ("image_id", "byte_len", "byte_sha256", "pixel_sha256",
                            "w", "h", "caption", "minhash", "simhash", "phash")}
     ids = table.column("image_id").to_pylist()
@@ -100,6 +108,11 @@ def _extract_rows(table, cfg: DedupConfig, src_file: str = None,
     frame["src_file"] = src_file
     frame["src_rg"] = pd.Series([src_rg] * len(frame), dtype="Int32")
     frame["src_pos"] = pd.array(np.arange(len(frame)), dtype="Int32")
+    if file_idx is None:
+        frame["sid"] = pd.array([None] * len(frame), dtype="Int64")
+    else:
+        base = (int(file_idx) << 40) | (int(src_rg) << 20)
+        frame["sid"] = pd.array(base + np.arange(len(frame)), dtype="Int64")
     return frame
 
 
@@ -123,7 +136,13 @@ def extract_features_from_files(
     # DISTRIBUTED — at 10^6 files, opening every footer on the driver
     # serializes split planning on one node (Iceberg sidesteps this entirely:
     # manifests carry the split list; this path is the raw-parquet fallback).
-    files_df = spark.createDataFrame([(f,) for f in files], "file string")
+    # file_idx feeds the sid surrogate (file_idx<<40 | rg<<20 | pos): unique
+    # iff files < 2^23, row groups/file < 2^20, rows/row-group < 2^20 —
+    # comfortably true for this raw-file fallback path (table formats carry
+    # their own row ids)
+    files_df = spark.createDataFrame(
+        [(f, i) for i, f in enumerate(files)], "file string, file_idx int"
+    )
     files_df = files_df.repartition(min(len(files), 256))
 
     def footer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -131,6 +150,7 @@ def extract_features_from_files(
             yield pd.DataFrame(
                 {
                     "file": pdf["file"],
+                    "file_idx": pdf["file_idx"],
                     "n_rg": [pq.ParquetFile(f).num_row_groups for f in pdf["file"]],
                 }
             )
@@ -141,10 +161,11 @@ def extract_features_from_files(
     from pyspark.sql import functions as F
 
     splits = (
-        files_df.mapInPandas(footer, "file string, n_rg int")
+        files_df.mapInPandas(footer, "file string, file_idx int, n_rg int")
         .filter(F.col("n_rg") > 0)
         .select(
             "file",
+            "file_idx",
             F.explode(F.sequence(F.lit(0), F.col("n_rg") - 1)).alias("row_group"),
         )
         .localCheckpoint(eager=False)
@@ -154,11 +175,12 @@ def extract_features_from_files(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for path, rg in zip(pdf["file"], pdf["row_group"]):
+            for path, fidx, rg in zip(pdf["file"], pdf["file_idx"], pdf["row_group"]):
                 table = pq.ParquetFile(path).read_row_group(
                     int(rg), columns=["image_id", "bytes", "caption"]
                 )
-                yield _extract_rows(table, cfg, src_file=path, src_rg=int(rg))
+                yield _extract_rows(table, cfg, src_file=path, src_rg=int(rg),
+                                    file_idx=int(fidx))
 
     return split_df.mapInPandas(gen, FEATURE_SCHEMA)
 
@@ -191,7 +213,8 @@ def signatures_from_features(features: DataFrame, reps: DataFrame) -> DataFrame:
     rep_ids = reps.filter(F.col("image_id") == F.col("rep_id")).select("rep_id")
     return (
         features.select(
-            F.col("image_id").alias("rep_id"), "w", "h", "minhash", "simhash", "phash"
+            F.col("image_id").alias("rep_id"), "sid", "w", "h",
+            "minhash", "simhash", "phash",
         ).join(rep_ids, "rep_id", "left_semi")
     )
 
@@ -228,4 +251,7 @@ def features_from_dataframe(images: DataFrame, cfg: DedupConfig) -> DataFrame:
         F.lit(None).cast("string").alias("src_file"),
         F.lit(None).cast("int").alias("src_rg"),
         F.lit(None).cast("int").alias("src_pos"),
+        # stable once the feature stage materializes (it is an eager anchor
+        # in the pipeline); the file path derives sid from data instead
+        F.monotonically_increasing_id().alias("sid"),
     )

@@ -15,14 +15,16 @@ Band sources:
 Skew strategy (the mega-cluster problem):
   1. exact-duplicate collapse upstream (operators/exact.representatives) —
      identical images are ONE node here.
-  2. bucket-size cap: buckets with <= cfg.max_band_bucket members use the
-     all-pairs self-join (quadratic but tiny); larger buckets are CHAIN-linked
-     (consecutive members after a sort) — linear in bucket size and exactly
-     sufficient for connected components, which only needs connectivity, not
-     every edge. A 10^6-member hot band emits 10^6-1 edges, not 5*10^11.
-  3. the all-pairs self-join runs under AQE skew-join splitting
-     (spark.sql.adaptive.skewJoin.enabled) with band keys salted into the
-     shuffle via the band struct key itself.
+  2. bucket-size caps sized to the multiprobe occupancy (DedupConfig
+     .max_band_bucket): under-cap buckets run the inline-prefiltered
+     all-pairs self-join; over-cap CAPTION buckets fall back to hub star
+     links; over-cap PIXEL buckets go through second-level phash
+     sub-banding so genuine near pairs keep a DIRECT verifiable edge
+     (see candidate_pairs docstring). A 10^6-member hot bucket emits
+     linear, not quadratic, work on every path.
+  3. the all-pairs self-join is pinned to SHUFFLE_HASH (AQE would
+     broadcast the corpus-sized band table) and runs under AQE skew-join
+     splitting (spark.sql.adaptive.skewJoin.enabled).
 """
 
 from __future__ import annotations
@@ -136,8 +138,18 @@ def band_table(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     # rows without pixel signatures (containers / corrupt payloads, F4) never
     # pass the pixel-authoritative verify — banding them is pure waste
     signatures = signatures.filter(F.col("phash").isNotNull())
+    # when the signature table carries the long surrogate id (operators/
+    # features.FEATURE_SCHEMA `sid`), band rows use IT as the id column:
+    # the pair self-joins then shuffle and compare fixed-width longs instead
+    # of id strings (~40% of band-row bytes, and the join condition's
+    # 300M+ id comparisons). candidate_pairs maps back to strings on its
+    # tiny output via id_map.
+    id_col = (
+        F.col("sid").alias("rep_id") if "sid" in signatures.columns
+        else F.col("rep_id")
+    )
     return signatures.select(
-        "rep_id", "phash", "simhash",
+        id_col, "phash", "simhash",
         F.explode(F.array(*all_keys)).alias("band_key"),
     )
 
@@ -158,9 +170,16 @@ def _hamming_ok(ph_l, sh_l, ph_r, sh_r, cfg: DedupConfig):
     )
 
 
-def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
+def candidate_pairs(
+    bands: DataFrame, cfg: DedupConfig, id_map: DataFrame | None = None
+) -> DataFrame:
     """(id_l, id_r, band_src) candidate pairs, id_l < id_r, hamming-
     prefiltered INLINE and deduped.
+
+    id_map (sid, rep_id): when the band table runs on long surrogate ids,
+    pass the mapping so the OUTPUT pairs carry string ids again — the two
+    join-backs touch only the pair table (candidate-proportional, tiny),
+    never the band table.
 
     The raw pair stream (a pair per shared bucket — ~100M rows at 300k
     images) never hits a shuffle: the hamming test runs inside the bucket
@@ -193,37 +212,71 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
     mega-clusters, where every member IS near the hub and star edges do pass
     verify) fall back to star links. Cost is linear: 72 sub-rows per over-cap
     member, emitted only for the over-cap slice."""
-    counts = bands.groupBy("band_key").agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.min("rep_id").alias("_hub"),
-        F.min_by("phash", "rep_id").alias("_hub_ph"),
-        F.min_by("simhash", "rep_id").alias("_hub_sh"),
-    )
     # per-source cap via the key's caption bit: caption buckets get a tighter
     # all-pairs window than pixel buckets (see DedupConfig.max_band_bucket)
     is_caption = F.col("band_key").bitwiseAND(F.lit(CAPTION_BIT)) != 0
     cap = F.when(is_caption, F.lit(cfg.minhash_max_bucket)).otherwise(
         F.lit(cfg.max_band_bucket)
     )
-    src = F.when(is_caption, F.lit("minhash")).otherwise(F.lit("pixel"))
-    sized = bands.join(counts, "band_key").withColumn("_cap", cap)
 
-    small = sized.filter(F.col("_n") <= F.col("_cap"))
-    left = small.select("band_key", F.col("rep_id").alias("id_l"),
-                        F.col("phash").alias("_ph_l"),
-                        F.col("simhash").alias("_sh_l"))
-    right = small.select("band_key", F.col("rep_id").alias("id_r"),
-                         F.col("phash").alias("_ph_r"),
-                         F.col("simhash").alias("_sh_r"))
-    small_pairs = (
-        left.join(right, "band_key")
-        .filter(F.col("id_l") < F.col("id_r"))
-        .filter(_hamming_ok(F.col("_ph_l"), F.col("_sh_l"),
-                            F.col("_ph_r"), F.col("_sh_r"), cfg))
-        .select("id_l", "id_r", src.alias("band_src"))
+    # MATERIALIZATION DISCIPLINE: every multiply-referenced intermediate is
+    # lazily localCheckpointed — DataFrame reuse is NOT compute reuse (each
+    # reference inlines the whole subtree; an early version of this plan
+    # executed the 26M-row band explode EIGHT times). Measured both ways at
+    # 300k: checkpointing the band table costs ~7s of single-disk write but
+    # recomputing it per consumer costs more in BOTH wall and scaling
+    # (65.7s vs 47.8s at 8 cores; AQE replans the wider trees serially), so
+    # the checkpoint stays.
+    bands = bands.localCheckpoint(eager=False)  # 3 consumers: hot/small/big
+
+    # ONLY the over-cap bucket keys (with their hub signatures) ever need to
+    # meet the band table again. An earlier layout joined the FULL per-bucket
+    # count table back onto all band rows — a corpus-scale sort-merge join
+    # that dominated the stage (measured: 2x the rest of pair generation
+    # combined, and it scaled at ~0.5 efficiency). The over-cap key set is
+    # orders of magnitude smaller (hot keys only), so the small path's
+    # anti-join and the big path's inner join both stay AQE-broadcastable;
+    # at scales where even the hot set outgrows broadcast they degrade to
+    # shuffle joins that move only hot keys, never the counts table.
+    hot = (
+        bands.groupBy("band_key")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min("rep_id").alias("_hub"),
+            F.min_by("phash", "rep_id").alias("_hub_ph"),
+            F.min_by("simhash", "rep_id").alias("_hub_sh"),
+        )
+        .filter(F.col("_n") > cap)
+        .localCheckpoint(eager=False)  # two consumers: anti-join + big path
     )
 
-    big = sized.filter(F.col("_n") > F.col("_cap"))
+    # the all-pairs self-join joins the SAME materialized plan to itself
+    # (aliases, not two differently-projected copies), so both join sides
+    # read the one cached band RDD. SHUFFLE_HASH is pinned: AQE otherwise
+    # saw a small compressed shuffle size and BROADCAST the 26M-row band
+    # table — a single-threaded ~800MB driver build that cost more than the
+    # whole join (measured 45s vs 18s at 8 cores) and grows with input, the
+    # exact shape of parallelism-independent wall the scaling gate punishes.
+    # At real corpus scale a broadcast here is impossible anyway; per-
+    # partition hash builds stay bounded by the shuffle partition count.
+    small = bands.join(hot.select("band_key"), "band_key", "left_anti")
+    sl, sr = small.alias("l"), small.alias("r")
+    small_pairs = (
+        sl.hint("SHUFFLE_HASH").join(sr, F.col("l.band_key") == F.col("r.band_key"))
+        .filter(F.col("l.rep_id") < F.col("r.rep_id"))
+        .filter(_hamming_ok(F.col("l.phash"), F.col("l.simhash"),
+                            F.col("r.phash"), F.col("r.simhash"), cfg))
+        .select(
+            F.col("l.rep_id").alias("id_l"),
+            F.col("r.rep_id").alias("id_r"),
+            F.when(
+                F.col("l.band_key").bitwiseAND(F.lit(CAPTION_BIT)) != 0,
+                F.lit("minhash"),
+            ).otherwise(F.lit("pixel")).alias("band_src"),
+        )
+    )
+
+    big = bands.join(hot, "band_key")
 
     # caption over-cap buckets: star links to the hub, hub-hamming filtered
     # (recall is carried by the pixel bands — see docstring)
@@ -253,38 +306,49 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
         val = F.shiftrightunsigned(F.col("phash"), sub * 8).bitwiseAND(F.lit(0xFF))
         for probe in [val] + [val.bitwiseXOR(F.lit(1 << bit)) for bit in range(8)]:
             sub_keys.append(F.xxhash64(F.lit(f"sub:{sub}"), probe))
-    sub = (
+    # checkpoint the DISTINCT MEMBER set (tiny), not the 72x-exploded sub
+    # table — each consumer re-explodes from the cached members (parallel,
+    # cheap) instead of reading a multi-hundred-MB checkpointed RDD
+    members = (
         big.filter(~is_caption)
         .select("rep_id", "phash", "simhash")
         .distinct()
-        .select("rep_id", "phash", "simhash",
-                F.explode(F.array(*sub_keys)).alias("sub_key"))
+        .localCheckpoint(eager=False)  # consumers: sub_hot, anti, star join
     )
-    sub_counts = sub.groupBy("sub_key").agg(
-        F.count(F.lit(1)).alias("_sn"),
-        F.min("rep_id").alias("_shub"),
-        F.min_by("phash", "rep_id").alias("_shub_ph"),
-        F.min_by("simhash", "rep_id").alias("_shub_sh"),
+    sub = members.select(
+        "rep_id", "phash", "simhash",
+        F.explode(F.array(*sub_keys)).alias("sub_key"),
     )
-    sub_sized = sub.join(sub_counts, "sub_key")
-    sub_small = sub_sized.filter(F.col("_sn") <= F.lit(cfg.max_band_bucket))
-    sub_left = sub_small.select("sub_key", F.col("rep_id").alias("id_l"),
-                                F.col("phash").alias("_ph_l"),
-                                F.col("simhash").alias("_sh_l"))
-    sub_right = sub_small.select("sub_key", F.col("rep_id").alias("id_r"),
-                                 F.col("phash").alias("_ph_r"),
-                                 F.col("simhash").alias("_sh_r"))
+    # same hot-key structure as the top level: only over-cap sub-bucket keys
+    # rejoin the sub table
+    sub_hot = (
+        sub.groupBy("sub_key")
+        .agg(
+            F.count(F.lit(1)).alias("_sn"),
+            F.min("rep_id").alias("_shub"),
+            F.min_by("phash", "rep_id").alias("_shub_ph"),
+            F.min_by("simhash", "rep_id").alias("_shub_sh"),
+        )
+        .filter(F.col("_sn") > F.lit(cfg.max_band_bucket))
+        .localCheckpoint(eager=False)
+    )
+    sub_small = sub.join(sub_hot.select("sub_key"), "sub_key", "left_anti")
+    ssl, ssr = sub_small.alias("sl"), sub_small.alias("sr")
     sub_pairs = (
-        sub_left.join(sub_right, "sub_key")
-        .filter(F.col("id_l") < F.col("id_r"))
-        .filter(_hamming_ok(F.col("_ph_l"), F.col("_sh_l"),
-                            F.col("_ph_r"), F.col("_sh_r"), cfg))
-        .select("id_l", "id_r", F.lit("pixel").alias("band_src"))
+        ssl.hint("SHUFFLE_HASH").join(ssr, F.col("sl.sub_key") == F.col("sr.sub_key"))
+        .filter(F.col("sl.rep_id") < F.col("sr.rep_id"))
+        .filter(_hamming_ok(F.col("sl.phash"), F.col("sl.simhash"),
+                            F.col("sr.phash"), F.col("sr.simhash"), cfg))
+        .select(
+            F.col("sl.rep_id").alias("id_l"),
+            F.col("sr.rep_id").alias("id_r"),
+            F.lit("pixel").alias("band_src"),
+        )
     )
     # sub-buckets still over the cap are phash-near-identical mega-groups:
     # every member is near the sub-hub, so star edges do pass verify there
     sub_star = (
-        sub_sized.filter(F.col("_sn") > F.lit(cfg.max_band_bucket))
+        sub.join(sub_hot, "sub_key")
         .filter(F.col("rep_id") != F.col("_shub"))
         .filter(_hamming_ok(F.col("_shub_ph"), F.col("_shub_sh"),
                             F.col("phash"), F.col("simhash"), cfg))
@@ -295,10 +359,24 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
         )
     )
 
-    return (
+    pairs = (
         small_pairs.unionByName(caption_star)
         .unionByName(sub_pairs)
         .unionByName(sub_star)
         .groupBy("id_l", "id_r")
         .agg(F.min("band_src").alias("band_src"))
     )
+    if id_map is not None:
+        # restore string ids on the tiny output (AQE broadcasts the map at
+        # this scale; at corpus scale this is a candidate-proportional join)
+        ml = id_map.select(F.col("sid").alias("id_l"), F.col("rep_id").alias("_l"))
+        mr = id_map.select(F.col("sid").alias("id_r"), F.col("rep_id").alias("_r"))
+        pairs = (
+            pairs.join(ml, "id_l").join(mr, "id_r")
+            .select(
+                F.least("_l", "_r").alias("id_l"),
+                F.greatest("_l", "_r").alias("id_r"),
+                "band_src",
+            )
+        )
+    return pairs

@@ -97,12 +97,14 @@ def run_pipeline(
             return features_op.extract_features_from_files(spark, source_path, cfg)
         return features_op.features_from_dataframe(images, cfg)
 
-    # Barrier policy (see CheckpointManager.stage): `features` is the ONLY
-    # eager anchor — everything downstream is either a lazy checkpoint (first
-    # consumer materializes it inside a job that was running anyway; later
-    # consumers read cached blocks) or plain composition. Round-2 measurement:
-    # each eager checkpoint is ~1s of serial, parallelism-independent wall, so
-    # the previous 7-eager-stage layout carried ~7s of pure L per run.
+    # Barrier policy (see CheckpointManager.stage): eager anchors ONLY where
+    # concurrent AQE stage materialization would otherwise race a lazy
+    # checkpoint (features/reps/pairs/verified_edges); single-ordered-
+    # consumer stages are lazy (hashes/clusters/canonical — the first
+    # consuming job materializes them, no extra barrier) or plain
+    # composition. Each eager checkpoint is ~1s of serial wall, so the
+    # policy trades the minimum barrier count that keeps materialization
+    # race-free.
     feats = mgr.stage("features", _features)
     hashes = mgr.stage(
         "hashes", lambda: features_op.hashes_from_features(feats), ["features"],
@@ -115,9 +117,13 @@ def run_pipeline(
         "exact_groups", lambda: exact.exact_groups(hashes), ["hashes"],
         barrier=False,
     )
-    reps = mgr.stage(
-        "reps", lambda: exact.representatives(hashes), ["hashes"], barrier="lazy"
-    )
+    # reps/pairs/verified_edges are EAGER anchors: their consumers reference
+    # them from multiple concurrently-materialized AQE query stages, and a
+    # lazy checkpoint materialized under that concurrency gets recomputed by
+    # racing stages (measured: the pairs stage ran 124s at 8 cores inside
+    # the pipeline vs 49s in isolation with eager parents — the anti-scaling
+    # was racing recompute, not work)
+    reps = mgr.stage("reps", lambda: exact.representatives(hashes), ["hashes"])
 
     # signatures has exactly one consumer (bands) and bands' two references
     # (bucket counts + the sized join) shuffle on the SAME key, so Spark's
@@ -135,11 +141,12 @@ def run_pipeline(
     )
     # candidate generation prefilters + dedupes inline (operators/lsh): the
     # materialized pairs table IS the verify input — raw band-collision pairs
-    # never hit a barrier or a shuffle. Lazy: the verify stage's first action
-    # materializes the whole features→hashes→reps→bands→pairs chain as ONE
-    # Spark job (internal stage DAG, no Python-side sync points between them).
+    # never hit a barrier or a shuffle. Band rows carry the long surrogate
+    # sid; the (sid -> image_id) map restores strings on the pair output.
     pairs = mgr.stage(
-        "pairs", lambda: lsh.candidate_pairs(bands, cfg), ["bands"], barrier="lazy"
+        "pairs",
+        lambda: lsh.candidate_pairs(bands, cfg, id_map=sigs.select("sid", "rep_id")),
+        ["bands"],
     )
 
     def _verify() -> DataFrame:
@@ -149,8 +156,7 @@ def run_pipeline(
             return verify.verified_edges_from_files(pairs, feats, cfg)
         return verify.verified_edges(pairs, images, cfg)
 
-    edges = mgr.stage("verified_edges", _verify, ["pairs", "features"],
-                      barrier="lazy")
+    edges = mgr.stage("verified_edges", _verify, ["pairs", "features"])
 
     def _cluster() -> DataFrame:
         near = edges.filter(F.col("passed")).select("id_l", "id_r")

@@ -66,12 +66,16 @@ def _rows():
     return rows
 
 
+# small pixel cap so the 22-member bucket exercises the over-cap sub-band
+# cascade (the default 256 cap would all-pairs it directly)
+CFG = DedupConfig(max_band_bucket=16)
+
+
 @pytest.fixture(scope="module")
 def planted_pairs(spark):
-    cfg = DedupConfig()
     sigs = spark.createDataFrame(_rows(), SIG_SCHEMA)
-    bands = lsh.band_table(sigs, cfg)
-    return lsh.candidate_pairs(bands, cfg).collect()
+    bands = lsh.band_table(sigs, CFG)
+    return lsh.candidate_pairs(bands, CFG).collect()
 
 
 def test_hamming(spark):
@@ -89,10 +93,9 @@ def test_overcap_near_pair_survives(planted_pairs):
 
 
 def test_overcap_bucket_is_actually_overcap(spark):
-    cfg = DedupConfig()
     sigs = spark.createDataFrame(_rows(), SIG_SCHEMA)
-    bands = lsh.band_table(sigs, cfg)
+    bands = lsh.band_table(sigs, CFG)
     from pyspark.sql import functions as F
 
     sizes = bands.groupBy("band_key").count().agg(F.max("count")).collect()[0][0]
-    assert sizes == 22 > cfg.max_band_bucket
+    assert sizes == 22 > CFG.max_band_bucket
