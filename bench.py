@@ -327,7 +327,10 @@ def main() -> None:
         payload["scaling"] = scaling
         lo, hi = SCALE_CORES
         os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+        # machine-written per-run record; BENCH/BASELINE.md is the curated
+        # report (history, decomposition, planted-check verdicts) and must
+        # not be clobbered by a re-run
+        with open(os.path.join(REPO, "BENCH", "SCALING_RUN.md"), "w") as fh:
             fh.write(
                 "# BENCH baseline — measured\n\n"
                 f"Scaling input: deterministic Spark-generated image+caption fixture, "

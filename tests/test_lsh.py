@@ -99,3 +99,55 @@ def test_overcap_bucket_is_actually_overcap(spark):
 
     sizes = bands.groupBy("band_key").count().agg(F.max("count")).collect()[0][0]
     assert sizes == 22 > CFG.max_band_bucket
+
+
+# --- no-Spark property tests of the recall guarantees ----------------------
+# Replicate the band/probe/sub-band key math in plain python and check the
+# pigeonhole claims the pipeline's docstrings make, over random pairs.
+def _top_level_buckets(ph: int, w: int = 64, h: int = 64) -> set:
+    """(band, probe_val) set a phash emits at 4x16-bit bands, 1-bit probes."""
+    out = set()
+    u = ph & ((1 << 64) - 1)
+    for band in range(4):
+        val = (u >> (band * 16)) & 0xFFFF
+        out.add((band, val))
+        for bit in range(16):
+            out.add((band, val ^ (1 << bit)))
+    return out
+
+
+def _sub_buckets(ph: int) -> set:
+    """(sub, probe_val) set at 8x8-bit sub-bands, 1-bit probes."""
+    out = set()
+    u = ph & ((1 << 64) - 1)
+    for sub in range(8):
+        val = (u >> (sub * 8)) & 0xFF
+        out.add((sub, val))
+        for bit in range(8):
+            out.add((sub, val ^ (1 << bit)))
+    return out
+
+
+def test_multiprobe_guarantee_hamming_11():
+    """Any pair at hamming <= 11 shares a top-level probe bucket AND a
+    sub-band bucket (the over-cap fallback's direct-edge guarantee)."""
+    rng = np.random.default_rng(7)
+    for _ in range(300):
+        a = int(rng.integers(0, 1 << 63))
+        d = int(rng.integers(1, 12))
+        bits = rng.choice(64, size=d, replace=False)
+        b = a
+        for bit in bits:
+            b ^= 1 << int(bit)
+        assert _top_level_buckets(a) & _top_level_buckets(b), (a, b, d)
+        assert _sub_buckets(a) & _sub_buckets(b), (a, b, d)
+
+
+def test_probe_sets_disjoint_beyond_radius():
+    """Sanity: a pair differing >= 3 bits in EVERY band shares no top-level
+    bucket (the selectivity side of the multiprobe design)."""
+    a = 0
+    b = 0
+    for band in range(4):
+        b |= 0b111 << (band * 16)
+    assert not (_top_level_buckets(a) & _top_level_buckets(b))
