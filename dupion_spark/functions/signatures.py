@@ -157,14 +157,24 @@ def _gray(pixels: np.ndarray) -> np.ndarray:
     return 0.299 * p[:, :, 0] + 0.587 * p[:, :, 1] + 0.114 * p[:, :, 2]
 
 
-def _resize_mean(gray: np.ndarray, size: int) -> np.ndarray:
-    """Area-mean resize of a 2-D array to size x size (handles any H, W >= 1)."""
+def _integral(gray: np.ndarray) -> np.ndarray:
+    """Zero-padded integral image of a 2-D array."""
     h, w = gray.shape
-    row_idx = (np.arange(size + 1) * h) // size
-    col_idx = (np.arange(size + 1) * w) // size
-    # cumulative-sum integral image for exact box means
     integral = np.zeros((h + 1, w + 1), dtype=np.float64)
     integral[1:, 1:] = gray.cumsum(axis=0).cumsum(axis=1)
+    return integral
+
+
+def _box_means(integral: np.ndarray, size: int) -> np.ndarray:
+    """size x size exact box means from a precomputed integral image.
+
+    Shared between pHash (32x32) and SimHash (16x16): the gray conversion +
+    integral are ~60% of per-image signature cost, so the one-pass
+    `pixel_signatures` computes them once for both (bit-identical results —
+    same arithmetic, same intermediate)."""
+    h, w = integral.shape[0] - 1, integral.shape[1] - 1
+    row_idx = (np.arange(size + 1) * h) // size
+    col_idx = (np.arange(size + 1) * w) // size
     r0, r1 = row_idx[:-1], np.maximum(row_idx[1:], row_idx[:-1] + 1)
     c0, c1 = col_idx[:-1], np.maximum(col_idx[1:], col_idx[:-1] + 1)
     r1 = np.minimum(r1, h)
@@ -180,6 +190,11 @@ def _resize_mean(gray: np.ndarray, size: int) -> np.ndarray:
     return sums / areas
 
 
+def _resize_mean(gray: np.ndarray, size: int) -> np.ndarray:
+    """Area-mean resize of a 2-D array to size x size (handles any H, W >= 1)."""
+    return _box_means(_integral(gray), size)
+
+
 @lru_cache(maxsize=8)
 def _dct_matrix(n: int) -> np.ndarray:
     """Orthonormal DCT-II basis matrix (no scipy in the container)."""
@@ -190,12 +205,9 @@ def _dct_matrix(n: int) -> np.ndarray:
     return mat
 
 
-def phash64(pixels: np.ndarray, cfg: DedupConfig) -> int:
-    """64-bit perceptual hash: resize -> 2-D DCT -> top-left low-freq block ->
-    median threshold. Returned as a *signed* int64 (parquet/Spark LongType)."""
-    gray = _resize_mean(_gray(pixels), cfg.phash_dct_size)
+def _phash_from_means(means: np.ndarray, cfg: DedupConfig) -> int:
     dct_mat = _dct_matrix(cfg.phash_dct_size)
-    coeffs = dct_mat @ gray @ dct_mat.T
+    coeffs = dct_mat @ means @ dct_mat.T
     low = coeffs[: cfg.phash_low_freq, : cfg.phash_low_freq].flatten()
     median = np.median(low[1:])  # skip DC term for the threshold
     bits = np.where(low > median, 1, 0)
@@ -204,6 +216,12 @@ def phash64(pixels: np.ndarray, cfg: DedupConfig) -> int:
     for bit in bits:
         value = (value << 1) | int(bit)
     return np.int64(np.uint64(value)).item()  # wrap to signed
+
+
+def phash64(pixels: np.ndarray, cfg: DedupConfig) -> int:
+    """64-bit perceptual hash: resize -> 2-D DCT -> top-left low-freq block ->
+    median threshold. Returned as a *signed* int64 (parquet/Spark LongType)."""
+    return _phash_from_means(_resize_mean(_gray(pixels), cfg.phash_dct_size), cfg)
 
 
 def simhash64(pixels: np.ndarray, cfg: DedupConfig) -> int:
@@ -216,8 +234,10 @@ def simhash64(pixels: np.ndarray, cfg: DedupConfig) -> int:
     few boundary crossings keeps re-encode noise within the multiprobe LSH
     catch radius (<= 11 bits at 4 bands, probe_bits=1).
     """
-    grid = cfg.simhash_grid
-    means = _resize_mean(_gray(pixels), grid)
+    return _simhash_from_means(_resize_mean(_gray(pixels), cfg.simhash_grid))
+
+
+def _simhash_from_means(means: np.ndarray) -> int:
     quantized = (means // 32).astype(np.uint64).flatten()
     idx = np.arange(quantized.size, dtype=np.uint64)
     # splitmix64-style mix of (block_index, quantized_value) — fully
@@ -239,6 +259,17 @@ def simhash64(pixels: np.ndarray, cfg: DedupConfig) -> int:
     for bit in np.nonzero(positive)[0]:
         value |= np.uint64(1) << np.uint64(bit)
     return np.int64(value).item()
+
+
+def pixel_signatures(pixels: np.ndarray, cfg: DedupConfig) -> tuple[int, int]:
+    """(simhash64, phash64) in ONE pass: gray conversion + integral image are
+    ~60% of per-image signature cost and both hashes derive their box means
+    from the same integral — bit-identical to calling the two functions
+    separately (same arithmetic, same intermediates)."""
+    integral = _integral(_gray(pixels))
+    sh = _simhash_from_means(_box_means(integral, cfg.simhash_grid))
+    ph = _phash_from_means(_box_means(integral, cfg.phash_dct_size), cfg)
+    return sh, ph
 
 
 def hash64_bands(value: int, n_bands: int) -> list[int]:

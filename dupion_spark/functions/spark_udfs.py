@@ -53,9 +53,10 @@ def make_pixel_sha256_udf():
 def make_minhash_udf(cfg: DedupConfig):
     """caption -> int64[minhash_k] MinHash signature over char shingles."""
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def minhash(captions: pd.Series) -> pd.Series:
-        sigs = signatures.minhash_signatures_batch(list(captions), cfg)
+        # values are mod (2^31-1) — int32 halves the Arrow transfer
+        sigs = signatures.minhash_signatures_batch(list(captions), cfg).astype("int32")
         return pd.Series(list(sigs.tolist()))
 
     return minhash
@@ -82,8 +83,9 @@ def make_pixel_signature_udf(cfg: DedupConfig):
                 simhashes.append(None)
                 phashes.append(None)
                 continue
-            simhashes.append(signatures.simhash64(pixels, cfg))
-            phashes.append(signatures.phash64(pixels, cfg))
+            sh, ph = signatures.pixel_signatures(pixels, cfg)
+            simhashes.append(sh)
+            phashes.append(ph)
         return pd.DataFrame(
             {
                 "simhash": pd.array(simhashes, dtype="Int64"),

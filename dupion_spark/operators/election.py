@@ -31,9 +31,11 @@ def canonical_map(clusters: DataFrame, hashes: DataFrame) -> DataFrame:
     mega-cluster serializes on one core; min(struct) aggregates combiner-
     style with map-side partials. Same fix for the exact-copy counts: a
     groupBy count joined back instead of a count window over pixel_sha256."""
+    # three consumers below (copies agg, hashed slice, null slice) — without
+    # the lazy checkpoint each re-executes the clusters x hashes join
     enriched = clusters.join(
         hashes.select("image_id", "byte_len", "pixel_sha256"), "image_id"
-    )
+    ).localCheckpoint(eager=False)
     # exact-copy counts per pixel hash; null-hash rows stay out of the join
     # (they'd pile into one null-key partition) and default to 1 copy
     copies = (

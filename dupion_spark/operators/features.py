@@ -43,7 +43,9 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("w", T.IntegerType()),
         T.StructField("h", T.IntegerType()),
         T.StructField("caption", T.StringType()),
-        T.StructField("minhash", T.ArrayType(T.LongType())),
+        # int32: minhash values are mod (2^31-1) by construction — halves
+        # the dominant column of the feature checkpoint + Arrow transfer
+        T.StructField("minhash", T.ArrayType(T.IntegerType())),
         T.StructField("simhash", T.LongType()),
         T.StructField("phash", T.LongType()),
         # payload locator: which (file, row group, row position) holds this
@@ -100,8 +102,9 @@ def _extract_rows(table, cfg: DedupConfig, src_file: str = None,
         out["pixel_sha256"].append(hasher.digest())
         out["w"].append(w)
         out["h"].append(h)
-        out["simhash"].append(signatures.simhash64(pixels, cfg))
-        out["phash"].append(signatures.phash64(pixels, cfg))
+        sh, ph = signatures.pixel_signatures(pixels, cfg)
+        out["simhash"].append(sh)
+        out["phash"].append(ph)
     frame = pd.DataFrame(out)
     frame["simhash"] = pd.array(out["simhash"], dtype="Int64")
     frame["phash"] = pd.array(out["phash"], dtype="Int64")
