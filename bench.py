@@ -65,11 +65,14 @@ BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 
 
 def run_headline(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
-    """Per-query timings: (warm = min over BENCH_REPS runs, cold = first run).
+    """Per-query timings: (warm = min over BENCH_REPS runs, first = run 1).
 
-    The warm number is the engine's; the cold-vs-warm gap is environment
-    (page cache, JVM codegen, python-worker spin-up) and is reported
-    separately so regressions aren't masked by run-to-run noise."""
+    The warm number is the engine's; the first-vs-warm gap is environment
+    (JVM codegen, python-worker spin-up) and is reported separately so
+    regressions aren't masked by run-to-run noise. NOTE the first run is NOT
+    cold — the page-cache pretouch precedes it — and this warm-min metric
+    replaced the single-run totals of BENCH_r01/r02 starting with r03, so
+    cross-round comparisons against r01/r02 are not apples-to-apples."""
     from dupion_spark import queries as Q
 
     _pretouch(sf_dir)
@@ -315,8 +318,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "cold_first_run_total": round(sum(cold.values()), 3),
+        "first_run_after_pretouch_total": round(sum(cold.values()), 3),
         "bench_reps": BENCH_REPS,
+        "metric_note": "value = min over bench_reps warm runs after a page-cache "
+                       "pretouch (metric definition since r03; r01/r02 totals were "
+                       "single cold runs and are not directly comparable)",
         "sf": sf,
         "img_pipeline_images_per_sec": round(n_images / img_elapsed, 1),
         "img_pipeline_n_images": n_images,

@@ -76,6 +76,21 @@ class DedupConfig:
     minhash_max_bucket: int = 8   # all-pairs window for caption-band buckets
     salt_buckets: int = 16        # salted repartition fan-out for hot band keys
 
+    # --- corpus-adaptive banding ---------------------------------------------
+    # With FIXED band-key entropy, bucket occupancy grows linearly with the
+    # corpus and within-bucket comparisons quadratically (measured: 2x input
+    # -> ~3.7x pairs-stage work at 600k, BENCH/BASELINE.md). The production
+    # answer is to scale key entropy with corpus size: fewer, WIDER phash
+    # bands trade the hamming guarantee down (4x16bit: d<=11; 3x21bit: d<=8;
+    # 2x32bit: d<=5 — guarantee = 3*bands - 1 under 1-bit symmetric probing)
+    # while multiplying per-band selectivity by 2^5 / 2^16. pixel_band_plan()
+    # picks the widest plan whose guarantee the corpus size justifies; the
+    # verify PSNR gate is unchanged, so precision is unaffected — only the
+    # maximum catchable phash distance narrows as N grows.
+    adaptive_banding: bool = True
+    bands3_min_reps: int = 400_000       # switch to 3 bands at this corpus size
+    bands2_min_reps: int = 20_000_000    # switch to 2 bands here
+
     # --- connected components ------------------------------------------------
     # every CC round is checkpointed unconditionally: each star embeds its
     # input plan ~3x, so anything less truncates too late and Catalyst
@@ -100,6 +115,19 @@ class DedupConfig:
         so a resumed run refuses to reuse stages built under a different config."""
         payload = json.dumps(asdict(self), sort_keys=True).encode()
         return hashlib.sha256(payload).hexdigest()[:16]
+
+    def pixel_band_plan(self, n_reps: int | None) -> int:
+        """Number of phash bands for a corpus of n_reps representatives.
+
+        None (size unknown) or small corpora use the default `phash_bands`
+        (the config the oracles/golden tables bind to); large corpora step
+        down to 3 then 2 wider bands so band-bucket occupancy stays bounded.
+        The hamming-catch guarantee at each plan is 3*bands - 1."""
+        if not self.adaptive_banding or n_reps is None or n_reps < self.bands3_min_reps:
+            return self.phash_bands
+        if n_reps < self.bands2_min_reps:
+            return 3
+        return 2
 
     def minhash_params(self) -> list[tuple[int, int]]:
         """(a_i, b_i) pairs for h_i(x) = (a_i * x + b_i) mod (2^31-1).

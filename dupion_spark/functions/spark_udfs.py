@@ -151,16 +151,24 @@ def make_verify_udf(cfg: DedupConfig):
         # per-batch decode memo: star links repeat one hub across thousands
         # of pairs, and without the memo the hub re-decodes once PER PAIR
         # (a 3000-member star = 3000 decodes of the same bytes). Keyed by
-        # the payload bytes; capped so a pathological batch of all-distinct
-        # large images cannot hold ~batch_size decoded arrays in memory.
+        # the payload bytes; budgeted by accumulated DECODED bytes, not entry
+        # count — 512 distinct 4K images would be ~12 GB of uint8 arrays in
+        # one python worker, while a byte budget admits ~4000 thumbnail-sized
+        # hubs or a handful of huge ones and degrades to re-decoding beyond
+        # it (correct either way).
         memo: dict[bytes, object] = {}
+        memo_bytes = 0
+        MEMO_BUDGET = 256 << 20  # 256 MB of decoded pixels per Arrow batch
 
         def decode(blob: bytes):
-            hit = memo.get(blob)
-            if hit is None and blob not in memo:
-                hit = codec.try_decode_image(blob)
-                if len(memo) < 512:
-                    memo[blob] = hit
+            nonlocal memo_bytes
+            if blob in memo:
+                return memo[blob]
+            hit = codec.try_decode_image(blob)
+            size = hit.nbytes if hit is not None else 0
+            if memo_bytes + size <= MEMO_BUDGET:
+                memo[blob] = hit
+                memo_bytes += size
             return hit
 
         psnrs, lcs_lens, passed = [], [], []

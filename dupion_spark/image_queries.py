@@ -15,9 +15,12 @@ pipeline outputs (exact groups, clusters, canonical election, rollup,
 shadow groups, treediff) instead of rows-only counts. The pixel decode
 itself is not SQL-expressible — the golden table IS its expected output.
 
-The driver runs correctness at sf=0.01, so the oracle SQL binds to that
-fixture directory (the Spark side follows whatever sf_dir it is given; at
-other scales the oracles don't apply).
+Scale binding: the oracle SQL is generated PER SCALE (every scale
+materializes its own golden parquet), bound at image_oracle_sql() call time
+to ORACLE_SCALE — the driver's correctness scale, overridable via
+$SPARK_GRAFT_ORACLE_SF so a driver that value-checks at a different sf still
+gets matching oracles (oracle_sql_for_scale exposes any scale directly; the
+parity test exercises sf0.001 AND sf0.01).
 """
 
 from __future__ import annotations
@@ -37,8 +40,10 @@ DATA_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file_
 # fixture rows per driver scale factor (sf_dir basename -> n_rows)
 SCALE_ROWS = {"sf0.001": 300, "sf0.01": 1200, "sf0.1": 6000}
 
-# the driver's correctness scale — oracle SQL binds to this fixture
-ORACLE_SCALE = "sf0.01"
+# the driver's correctness scale — image_oracle_sql() binds to this fixture
+# (the Spark side follows whatever sf_dir it is given; oracle_sql_for_scale
+# generates matching SQL for any scale in SCALE_ROWS)
+ORACLE_SCALE = os.environ.get("SPARK_GRAFT_ORACLE_SF", "sf0.01")
 
 
 def _fixture_dir(sf_dir: str) -> tuple[str, int]:
@@ -49,17 +54,11 @@ def _fixture_dir(sf_dir: str) -> tuple[str, int]:
     return out, n_rows
 
 
-def _g(table: str) -> str:
-    """DuckDB read_parquet() literal for a golden fixture table."""
-    path = os.path.join(DATA_ROOT, f"synth_{ORACLE_SCALE}", f"{table}.parquet")
-    return f"read_parquet('{path}')"
-
-
-def ensure_oracle_fixture() -> None:
-    """Materialize the oracle-scale fixture so read_parquet targets exist
+def ensure_oracle_fixture(scale: str = None) -> None:
+    """Materialize the given scale's fixture so read_parquet targets exist
     even if the driver evaluates oracle SQL before any Spark query runs."""
-    n_rows = SCALE_ROWS[ORACLE_SCALE]
-    materialize(os.path.join(DATA_ROOT, f"synth_{ORACLE_SCALE}"), n_rows)
+    scale = scale or ORACLE_SCALE
+    materialize(os.path.join(DATA_ROOT, f"synth_{scale}"), SCALE_ROWS[scale])
 
 
 def load_images(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -88,26 +87,11 @@ def q_img_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_IMG_EXACT_GROUPS = f"""
-SELECT pixel_sha256_hex AS pixel_hash, count(*) AS n_members,
-       CAST(sum(byte_len) AS BIGINT) AS total_bytes,
-       array_to_string(list_sort(list(image_id)), ',') AS members
-FROM {_g('golden_features')}
-GROUP BY pixel_sha256_hex HAVING count(*) > 1
-"""
-
-
 def q_img_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup pipeline -> cluster assignments (image_id, cluster_root)."""
     images = load_images(spark, sf_dir)
     result = run_pipeline(spark, images, DedupConfig())
     return result.clusters
-
-
-SQL_IMG_CLUSTERS = f"""
-SELECT image_id, min(image_id) OVER (PARTITION BY cluster_id) AS cluster_root
-FROM {_g('golden_clusters')}
-"""
 
 
 def q_img_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,48 +101,12 @@ def q_img_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.canonical
 
 
-SQL_IMG_CANONICAL = f"""
-WITH gc AS (
-  SELECT image_id, min(image_id) OVER (PARTITION BY cluster_id) AS cluster_root
-  FROM {_g('golden_clusters')}
-), cp AS (
-  SELECT pixel_sha256_hex, count(*) AS copies
-  FROM {_g('golden_features')} GROUP BY 1
-), e AS (
-  SELECT gc.cluster_root, gf.image_id, gf.byte_len, cp.copies
-  FROM gc JOIN {_g('golden_features')} gf USING (image_id)
-          JOIN cp USING (pixel_sha256_hex)
-)
-SELECT cluster_root, image_id AS canonical_image_id, n_members, total_bytes
-FROM (
-  SELECT e.*,
-         row_number() OVER (PARTITION BY cluster_root
-           ORDER BY byte_len ASC, copies DESC, image_id ASC) AS rn,
-         count(*) OVER (PARTITION BY cluster_root) AS n_members,
-         CAST(sum(byte_len) OVER (PARTITION BY cluster_root) AS BIGINT) AS total_bytes
-  FROM e
-) WHERE rn = 1
-"""
-
-
 def q_img_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition rollup hashes (A4 graft)."""
     images = load_images(spark, sf_dir)
     parts = load_partition_map(spark, sf_dir)
     result = run_pipeline(spark, images, DedupConfig(), partition_map=parts)
     return result.rollup
-
-
-SQL_IMG_ROLLUP = f"""
-SELECT pm.part_key,
-       sha256(string_agg(pm.rel_name || ':' || gf.content_hash, '|'
-              ORDER BY pm.rel_name || ':' || gf.content_hash)) AS rollup_hash,
-       count(*) AS rollup_count,
-       CAST(sum(gf.byte_len) AS BIGINT) AS rollup_bytes
-FROM {_g('partition_map')} pm
-JOIN {_g('golden_features')} gf USING (image_id)
-GROUP BY pm.part_key
-"""
 
 
 def q_img_groups_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,43 +122,6 @@ def q_img_groups_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_root", "n_members", "n_shadowed", "n_visible",
         F.array_join("members", ",").alias("members"),
     )
-
-
-SQL_IMG_GROUPS_SHADOW = f"""
-WITH ro AS (
-  SELECT pm.part_key,
-         sha256(string_agg(pm.rel_name || ':' || gf.content_hash, '|'
-                ORDER BY pm.rel_name || ':' || gf.content_hash)) AS rollup_hash
-  FROM {_g('partition_map')} pm
-  JOIN {_g('golden_features')} gf USING (image_id)
-  GROUP BY pm.part_key
-), tw AS (
-  SELECT part_key FROM (
-    SELECT part_key, count(*) OVER (PARTITION BY rollup_hash) AS n FROM ro
-  ) WHERE n > 1
-), sh AS (
-  SELECT pm.image_id,
-         pm.part_key IN (SELECT part_key FROM tw) AS shadowed
-  FROM {_g('partition_map')} pm
-), gc AS (
-  SELECT image_id, min(image_id) OVER (PARTITION BY cluster_id) AS cluster_root
-  FROM {_g('golden_clusters')}
-), g AS (
-  SELECT gc.cluster_root,
-         count(*) AS n_members,
-         CAST(sum(CASE WHEN sh.shadowed THEN 1 ELSE 0 END) AS BIGINT) AS n_shadowed,
-         count(*) - CAST(sum(CASE WHEN sh.shadowed THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_visible,
-         array_to_string(list_sort(list(gc.image_id)), ',') AS all_members,
-         array_to_string(list_sort(list(gc.image_id) FILTER (WHERE NOT sh.shadowed)), ',')
-             AS visible_members
-  FROM gc JOIN sh USING (image_id)
-  GROUP BY gc.cluster_root HAVING count(*) > 1
-)
-SELECT cluster_root, n_members, n_shadowed, n_visible,
-       CASE WHEN n_visible <> 1 THEN visible_members ELSE all_members END AS members
-FROM g WHERE NOT ((n_visible <> 1) AND n_visible <= 1)
-"""
 
 
 def q_img_treediff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -230,21 +141,6 @@ def q_img_treediff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff_rows(side_a, side_b)
 
 
-SQL_IMG_TREEDIFF = f"""
-WITH k AS (
-  SELECT pm.part_key, pm.rel_name, gf.content_hash
-  FROM {_g('partition_map')} pm
-  JOIN {_g('golden_features')} gf USING (image_id)
-), a AS (SELECT rel_name, content_hash AS hash_a FROM k WHERE part_key = 'dupA'),
-   b AS (SELECT rel_name, content_hash AS hash_b FROM k WHERE part_key = 'dupB')
-SELECT rel_name, hash_a, hash_b,
-       CASE WHEN hash_a = hash_b THEN 2
-            WHEN hash_a IS NULL OR hash_b IS NULL THEN 1
-            ELSE 0 END AS status
-FROM a FULL OUTER JOIN b USING (rel_name)
-"""
-
-
 def q_img_tree_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2/O3 tree node table over the image fixture (operators/tree.py):
     per-node label, reference child sort rank, and the 4-member DUPS preview.
@@ -262,10 +158,130 @@ def q_img_tree_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tree_rows(hashes, parts, roll)
 
 
-SQL_IMG_TREE_ROWS = f"""
-SELECT parent, name, icon, icon_prio, dups, size, label, child_rank, preview
-FROM {_g('golden_tree')}
+# ---------------------------------------------------------------------------
+# oracle SQL — generated per scale (each scale has its own golden parquet)
+# ---------------------------------------------------------------------------
+def oracle_sql_for_scale(scale: str) -> dict[str, str]:
+    """The seven image-query oracles bound to the given scale's golden tables.
+
+    Pure string generation — call ensure_oracle_fixture(scale) (or any Spark
+    query at that scale) to materialize the read_parquet targets."""
+
+    def g(table: str) -> str:
+        path = os.path.join(DATA_ROOT, f"synth_{scale}", f"{table}.parquet")
+        return f"read_parquet('{path}')"
+
+    sql_exact_groups = f"""
+SELECT pixel_sha256_hex AS pixel_hash, count(*) AS n_members,
+       CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+       array_to_string(list_sort(list(image_id)), ',') AS members
+FROM {g('golden_features')}
+GROUP BY pixel_sha256_hex HAVING count(*) > 1
 """
+
+    sql_clusters = f"""
+SELECT image_id, min(image_id) OVER (PARTITION BY cluster_id) AS cluster_root
+FROM {g('golden_clusters')}
+"""
+
+    sql_canonical = f"""
+WITH gc AS (
+  SELECT image_id, min(image_id) OVER (PARTITION BY cluster_id) AS cluster_root
+  FROM {g('golden_clusters')}
+), cp AS (
+  SELECT pixel_sha256_hex, count(*) AS copies
+  FROM {g('golden_features')} GROUP BY 1
+), e AS (
+  SELECT gc.cluster_root, gf.image_id, gf.byte_len, cp.copies
+  FROM gc JOIN {g('golden_features')} gf USING (image_id)
+          JOIN cp USING (pixel_sha256_hex)
+)
+SELECT cluster_root, image_id AS canonical_image_id, n_members, total_bytes
+FROM (
+  SELECT e.*,
+         row_number() OVER (PARTITION BY cluster_root
+           ORDER BY byte_len ASC, copies DESC, image_id ASC) AS rn,
+         count(*) OVER (PARTITION BY cluster_root) AS n_members,
+         CAST(sum(byte_len) OVER (PARTITION BY cluster_root) AS BIGINT) AS total_bytes
+  FROM e
+) WHERE rn = 1
+"""
+
+    sql_rollup = f"""
+SELECT pm.part_key,
+       sha256(string_agg(pm.rel_name || ':' || gf.content_hash, '|'
+              ORDER BY pm.rel_name || ':' || gf.content_hash)) AS rollup_hash,
+       count(*) AS rollup_count,
+       CAST(sum(gf.byte_len) AS BIGINT) AS rollup_bytes
+FROM {g('partition_map')} pm
+JOIN {g('golden_features')} gf USING (image_id)
+GROUP BY pm.part_key
+"""
+
+    sql_groups_shadow = f"""
+WITH ro AS (
+  SELECT pm.part_key,
+         sha256(string_agg(pm.rel_name || ':' || gf.content_hash, '|'
+                ORDER BY pm.rel_name || ':' || gf.content_hash)) AS rollup_hash
+  FROM {g('partition_map')} pm
+  JOIN {g('golden_features')} gf USING (image_id)
+  GROUP BY pm.part_key
+), tw AS (
+  SELECT part_key FROM (
+    SELECT part_key, count(*) OVER (PARTITION BY rollup_hash) AS n FROM ro
+  ) WHERE n > 1
+), sh AS (
+  SELECT pm.image_id,
+         pm.part_key IN (SELECT part_key FROM tw) AS shadowed
+  FROM {g('partition_map')} pm
+), gc AS (
+  SELECT image_id, min(image_id) OVER (PARTITION BY cluster_id) AS cluster_root
+  FROM {g('golden_clusters')}
+), g AS (
+  SELECT gc.cluster_root,
+         count(*) AS n_members,
+         CAST(sum(CASE WHEN sh.shadowed THEN 1 ELSE 0 END) AS BIGINT) AS n_shadowed,
+         count(*) - CAST(sum(CASE WHEN sh.shadowed THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_visible,
+         array_to_string(list_sort(list(gc.image_id)), ',') AS all_members,
+         array_to_string(list_sort(list(gc.image_id) FILTER (WHERE NOT sh.shadowed)), ',')
+             AS visible_members
+  FROM gc JOIN sh USING (image_id)
+  GROUP BY gc.cluster_root HAVING count(*) > 1
+)
+SELECT cluster_root, n_members, n_shadowed, n_visible,
+       CASE WHEN n_visible <> 1 THEN visible_members ELSE all_members END AS members
+FROM g WHERE NOT ((n_visible <> 1) AND n_visible <= 1)
+"""
+
+    sql_treediff = f"""
+WITH k AS (
+  SELECT pm.part_key, pm.rel_name, gf.content_hash
+  FROM {g('partition_map')} pm
+  JOIN {g('golden_features')} gf USING (image_id)
+), a AS (SELECT rel_name, content_hash AS hash_a FROM k WHERE part_key = 'dupA'),
+   b AS (SELECT rel_name, content_hash AS hash_b FROM k WHERE part_key = 'dupB')
+SELECT rel_name, hash_a, hash_b,
+       CASE WHEN hash_a = hash_b THEN 2
+            WHEN hash_a IS NULL OR hash_b IS NULL THEN 1
+            ELSE 0 END AS status
+FROM a FULL OUTER JOIN b USING (rel_name)
+"""
+
+    sql_tree_rows = f"""
+SELECT parent, name, icon, icon_prio, dups, size, label, child_rank, preview
+FROM {g('golden_tree')}
+"""
+
+    return {
+        "img_exact_groups": sql_exact_groups,
+        "img_clusters": sql_clusters,
+        "img_canonical": sql_canonical,
+        "img_rollup": sql_rollup,
+        "img_groups_shadow": sql_groups_shadow,
+        "img_treediff": sql_treediff,
+        "img_tree_rows": sql_tree_rows,
+    }
 
 
 def image_queries():
@@ -281,14 +297,7 @@ def image_queries():
 
 
 def image_oracle_sql():
-    """DuckDB oracles over the materialized golden tables (see module doc)."""
+    """DuckDB oracles over the materialized golden tables at the driver's
+    correctness scale (see module doc; override via $SPARK_GRAFT_ORACLE_SF)."""
     ensure_oracle_fixture()
-    return {
-        "img_exact_groups": SQL_IMG_EXACT_GROUPS,
-        "img_clusters": SQL_IMG_CLUSTERS,
-        "img_canonical": SQL_IMG_CANONICAL,
-        "img_rollup": SQL_IMG_ROLLUP,
-        "img_groups_shadow": SQL_IMG_GROUPS_SHADOW,
-        "img_treediff": SQL_IMG_TREEDIFF,
-        "img_tree_rows": SQL_IMG_TREE_ROWS,
-    }
+    return oracle_sql_for_scale(ORACLE_SCALE)

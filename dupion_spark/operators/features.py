@@ -120,19 +120,27 @@ def _extract_rows(table, cfg: DedupConfig, src_file: str = None,
 
 
 def extract_features_from_files(
-    spark: SparkSession, source_path: str, cfg: DedupConfig
+    spark: SparkSession, source_path: str, cfg: DedupConfig,
+    files_with_idx: list[tuple[str, int]] | None = None,
 ) -> DataFrame:
     """Feature table from a parquet directory, payloads read worker-side.
 
     Parallelism granularity = parquet row groups (each task reads row groups
     of its file directly via pyarrow). Write inputs with enough files/row
-    groups for the cluster; the generator here writes 64."""
+    groups for the cluster; the generator here writes 64.
+
+    files_with_idx: explicit (path, file_idx) subset to extract — the
+    incremental-resume path passes only NEW/CHANGED files here, with indices
+    allocated past every previously-used file_idx so the derived sid
+    surrogates can never collide with reused checkpointed rows."""
     import pyarrow.parquet as pq
 
     from dupion_spark.sources.files import list_parquet_files
 
-    files = list_parquet_files(source_path)
-    if not files:
+    if files_with_idx is None:
+        files_with_idx = list(enumerate(list_parquet_files(source_path)))
+        files_with_idx = [(f, i) for i, f in files_with_idx]
+    if not files_with_idx:
         raise ValueError(f"no parquet files under {source_path}")
     # one task per (file, row_group): row groups are the scan-split unit,
     # exactly like Iceberg/Parquet file-scan task planning. Footer reads are
@@ -144,9 +152,9 @@ def extract_features_from_files(
     # comfortably true for this raw-file fallback path (table formats carry
     # their own row ids)
     files_df = spark.createDataFrame(
-        [(f, i) for i, f in enumerate(files)], "file string, file_idx int"
+        files_with_idx, "file string, file_idx int"
     )
-    files_df = files_df.repartition(min(len(files), 256))
+    files_df = files_df.repartition(min(len(files_with_idx), 256))
 
     def footer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -113,8 +113,16 @@ def _hash64_band_keys(col_name: str, n_bands: int, tag: str, probe_bits: int):
     return keys
 
 
-def band_table(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+def band_table(
+    signatures: DataFrame, cfg: DedupConfig, n_reps: int | None = None
+) -> DataFrame:
     """Explode per-rep signatures into (rep_id, phash, simhash, band_key).
+
+    n_reps: corpus-size hint driving the ADAPTIVE pixel band plan
+    (cfg.pixel_band_plan): as the corpus grows, fewer/wider phash bands keep
+    band-bucket occupancy bounded (the fixed-entropy occupancy growth is the
+    measured 600k superlinearity, BENCH/BASELINE.md) at the cost of a lower
+    guaranteed hamming catch radius (11 -> 8 -> 5).
 
     band_key is ONE pre-combined 64-bit long per band row (caption buckets
     flagged via CAPTION_BIT), exploded from an array<long> — an earlier
@@ -130,9 +138,10 @@ def band_table(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     band source with the guaranteed hamming<=11 catch. simhash (a diversity
     source with much lower entropy on smooth imagery) gets exact bands —
     probing it multiplied junk candidate pairs ~17x for negligible recall."""
+    phash_bands = cfg.pixel_band_plan(n_reps)
     all_keys = (
         _caption_band_keys(cfg)
-        + _hash64_band_keys("phash", cfg.phash_bands, "ph", cfg.probe_bits)
+        + _hash64_band_keys("phash", phash_bands, "ph", cfg.probe_bits)
         + _hash64_band_keys("simhash", cfg.simhash_bands, "sh", 0)
     )
     # rows without pixel signatures (containers / corrupt payloads, F4) never
@@ -203,15 +212,40 @@ def candidate_pairs(
     carry recall through the verify gate — a hub edge only survives if the
     member is a near-dup OF THE HUB, so two members near each other but far
     from the hub would lose connectivity (the round-2 latent recall hole).
-    Instead, members of an over-cap pixel bucket are re-bucketed by 8 sub-
-    bands of 8 phash bits with 1-bit multiprobe: a pair at total hamming <=
-    11 has <= 1 differing bit in SOME sub-band (pigeonhole over 8), and 1-bit
-    symmetric probing collides at <= 2, so every genuine near pair lands in a
-    shared sub-bucket and gets a DIRECT, verifiable edge. Sub-buckets under
-    the cap run all-pairs; sub-buckets still over the cap (phash-identical
-    mega-clusters, where every member IS near the hub and star edges do pass
-    verify) fall back to star links. Cost is linear: 72 sub-rows per over-cap
-    member, emitted only for the over-cap slice."""
+    Instead, members of an over-cap pixel bucket are re-bucketed by 8
+    CYCLIC BYTE-PAIR WINDOWS — 16-bit sub-bands over bytes (s, s+1 mod 8) —
+    with 1-bit multiprobe. Every phash bit lies in exactly TWO windows, so a
+    pair at total hamming d has window-diff sum 2d and SOME window with
+    <= floor(2d/8) differing bits: <= 2 at d <= 11 (and at the adaptive
+    plans' 8/5), within the 1-bit symmetric probe radius — every genuine
+    near pair lands in a shared sub-bucket and keeps a DIRECT, verifiable
+    edge. The overlap buys BOTH halves of the round-3 ADVICE trade: 16-bit
+    keys carry 256x the entropy of the old 8x8-bit design (whose sub-buckets
+    saturate once over-cap membership reaches thousands), while keeping 8
+    alternative collision routes (a disjoint 4x16 design has only 4 — one
+    over-cap zero-diff window then drops the pair, which the property test
+    catches). Sub-buckets under the cap run all-pairs; sub-buckets STILL
+    over the cap fall back to hub star links — overwhelmingly phash-near-
+    identical mega-groups where star edges pass verify; a member far from
+    its sub-hub can still lose a direct edge there, the same latent hole one
+    level down made 2^8 rarer per window; documented rather than recursed
+    again. Cost is linear: 136 sub-rows per over-cap member, emitted only
+    for the over-cap slice."""
+    # Guard: when the band table was built on the LONG surrogate sid (see
+    # band_table), downstream verify/CC join on STRING image_id — emitting
+    # long pairs without an id_map would make every downstream inner join
+    # empty, a silent total recall loss instead of an error.
+    from pyspark.sql import types as _T
+
+    if id_map is None and isinstance(
+        bands.schema["rep_id"].dataType, (_T.LongType, _T.IntegerType)
+    ):
+        raise ValueError(
+            "candidate_pairs: band table carries numeric surrogate ids (sid) "
+            "but no id_map was supplied — pairs would never join back to "
+            "string image_ids downstream. Pass id_map=signatures.select('sid','rep_id')."
+        )
+
     # per-source cap via the key's caption bit: caption buckets get a tighter
     # all-pairs window than pixel buckets (see DedupConfig.max_band_bucket)
     is_caption = F.col("band_key").bitwiseAND(F.lit(CAPTION_BIT)) != 0
@@ -292,19 +326,23 @@ def candidate_pairs(
         )
     )
 
-    # pixel over-cap buckets: second-level sub-banding (8 sub-bands of 8
-    # phash bits, 1-bit multiprobe) over the DISTINCT over-cap member set —
-    # global scope, not per parent bucket: the pigeonhole guarantee works on
-    # the full 64-bit phash regardless of scope, and per-bucket scoping would
-    # make a mega-cluster member (over-cap in all ~70 of its probe buckets)
-    # emit 72 sub-rows per bucket instead of 72 total. Shape is NOT in the
-    # sub key (band rows don't carry w/h); cross-shape sub-collisions are
-    # junk pairs bounded by the sub-bucket cap and killed by the hamming
-    # prefilter / PSNR shape gate.
+    # pixel over-cap buckets: second-level sub-banding (8 cyclic byte-pair
+    # windows of 16 phash bits, 1-bit multiprobe — see docstring) over the
+    # DISTINCT over-cap member set — global scope, not per parent bucket:
+    # the weighted-pigeonhole guarantee works on the full 64-bit phash
+    # regardless of scope, and per-bucket scoping would make a mega-cluster
+    # member (over-cap in all its probe buckets) emit 136 sub-rows per
+    # bucket instead of 136 total. Shape is NOT in the sub key (band rows
+    # don't carry w/h); cross-shape sub-collisions are junk pairs bounded by
+    # the sub-bucket cap and killed by the hamming prefilter / PSNR gate.
     sub_keys = []
     for sub in range(8):
-        val = F.shiftrightunsigned(F.col("phash"), sub * 8).bitwiseAND(F.lit(0xFF))
-        for probe in [val] + [val.bitwiseXOR(F.lit(1 << bit)) for bit in range(8)]:
+        lo = F.shiftrightunsigned(F.col("phash"), sub * 8).bitwiseAND(F.lit(0xFF))
+        hi = F.shiftrightunsigned(
+            F.col("phash"), ((sub + 1) % 8) * 8
+        ).bitwiseAND(F.lit(0xFF))
+        val = F.shiftleft(hi, 8).bitwiseOR(lo)
+        for probe in [val] + [val.bitwiseXOR(F.lit(1 << bit)) for bit in range(16)]:
             sub_keys.append(F.xxhash64(F.lit(f"sub:{sub}"), probe))
     # checkpoint the DISTINCT MEMBER set (tiny), not the 72x-exploded sub
     # table — each consumer re-explodes from the cached members (parallel,
@@ -345,8 +383,11 @@ def candidate_pairs(
             F.lit("pixel").alias("band_src"),
         )
     )
-    # sub-buckets still over the cap are phash-near-identical mega-groups:
-    # every member is near the sub-hub, so star edges do pass verify there
+    # sub-buckets still over the cap fall back to hub stars. With 16-bit sub
+    # keys these are overwhelmingly phash-near-identical mega-groups (star
+    # edges pass verify there); the residual risk — a member >2*prefilter
+    # bits from its sub-hub losing its only direct edge — is the documented
+    # one-level-down latent hole (see candidate_pairs docstring)
     sub_star = (
         sub.join(sub_hot, "sub_key")
         .filter(F.col("rep_id") != F.col("_shub"))

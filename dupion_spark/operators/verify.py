@@ -65,8 +65,12 @@ def gather_payloads(pairs: DataFrame, features: DataFrame) -> DataFrame:
             # row POSITIONS carried from the feature pass: read only the
             # bytes column and `take` exactly the needed rows — no id-column
             # decode, no whole-row-group blob materialization. (The column
-            # chunk itself still decompresses as a unit; true byte-range page
-            # reads come from the table format's page index in production.)
+            # chunk itself still decompresses as a unit: pyarrow 16.1 exposes
+            # NO page-index read path — pq.ParquetFile reads whole row groups
+            # and dataset filters prune row groups, not pages — so sub-chunk
+            # selective reads are not expressible in this environment; the
+            # table format's page index / Iceberg positional reads delete
+            # this residue in production.)
             needed: dict[tuple[str, int], list[tuple[int, str, str]]] = {}
             for f, rg, pos, i, cap in zip(pdf["src_file"], pdf["src_rg"],
                                           pdf["src_pos"], pdf["image_id"],

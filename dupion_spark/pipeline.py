@@ -32,6 +32,7 @@ from dupion_spark.operators import election, exact, lsh, rollup, verify
 from dupion_spark.operators import features as features_op
 from dupion_spark.sources.checkpoint import (
     CheckpointManager,
+    file_fingerprints,
     fingerprint_files,
     partition_lineage,
 )
@@ -92,10 +93,58 @@ def run_pipeline(
             input_fp = f"df:{row['n']}:{row['h']}"
     mgr = CheckpointManager(spark, checkpoint_dir, cfg, input_fingerprint=input_fp)
 
+    # Per-row incremental resume (the reference's defining cache behavior:
+    # vfs/entry.rs:173-198 keeps a row iff (ctime,size) match and pass 2
+    # rehashes only rows without a valid cached hash). Graft at file-row
+    # granularity: the features manifest stores a per-file fingerprint map;
+    # when the chain is stale but SOME input files are unchanged, the rebuild
+    # reuses their checkpointed feature rows and re-extracts (decodes) ONLY
+    # new/changed files. `incr` carries the unchanged-file set forward so the
+    # verify stage can likewise reuse prior pair verdicts whose endpoints'
+    # content is provably unchanged. At 10^12 rows with daily appends this is
+    # the difference between re-decoding the corpus and decoding the delta.
+    incr: dict = {"reused_files": None, "manifest": {}}
+
     def _features() -> DataFrame:
-        if source_path:
-            return features_op.extract_features_from_files(spark, source_path, cfg)
-        return features_op.features_from_dataframe(images, cfg)
+        if not source_path:
+            return features_op.features_from_dataframe(images, cfg)
+        current = file_fingerprints(source_path)
+        prior = mgr.prior_manifest("features")
+        if prior and prior.get("files") and prior.get("config_hash") == cfg.config_hash():
+            prior_files = prior["files"]
+            unchanged = sorted(
+                p for p, fp in current.items()
+                if p in prior_files and prior_files[p]["fp"] == fp
+            )
+            prior_df = mgr.prior_output("features") if unchanged else None
+            if prior_df is not None:
+                fresh = sorted(set(current) - set(unchanged))
+                # fresh files get indices past every previously-used one so
+                # their derived sids can never collide with reused rows'
+                next_idx = int(prior.get("next_file_idx", len(prior_files)))
+                fresh_idx = [(p, next_idx + i) for i, p in enumerate(fresh)]
+                incr["manifest"] = {
+                    "files": {
+                        **{p: {"fp": current[p], "idx": prior_files[p]["idx"]}
+                           for p in unchanged},
+                        **{p: {"fp": current[p], "idx": i} for p, i in fresh_idx},
+                    },
+                    "next_file_idx": next_idx + len(fresh),
+                }
+                incr["reused_files"] = set(unchanged)
+                reused = prior_df.filter(F.col("src_file").isin(unchanged))
+                if not fresh:
+                    return reused
+                new_rows = features_op.extract_features_from_files(
+                    spark, source_path, cfg, files_with_idx=fresh_idx
+                )
+                return reused.unionByName(new_rows)
+        incr["manifest"] = {
+            "files": {p: {"fp": fp, "idx": i}
+                      for i, (p, fp) in enumerate(sorted(current.items()))},
+            "next_file_idx": len(current),
+        }
+        return features_op.extract_features_from_files(spark, source_path, cfg)
 
     # Barrier policy (see CheckpointManager.stage): eager anchors ONLY where
     # concurrent AQE stage materialization would otherwise race a lazy
@@ -105,7 +154,21 @@ def run_pipeline(
     # composition. Each eager checkpoint is ~1s of serial wall, so the
     # policy trades the minimum barrier count that keeps materialization
     # race-free.
-    feats = mgr.stage("features", _features)
+    feats = mgr.stage("features", _features,
+                      manifest_extra=lambda: incr["manifest"])
+    # corpus size (one metadata-cheap count on the materialized feature
+    # anchor): reused for the A7 metrics AND as the adaptive band-plan hint
+    n_images = feats.count()
+    if incr["reused_files"] is not None:
+        # lineage proof of the incremental rebuild: how many feature rows
+        # were reused from the prior checkpoint vs actually re-extracted
+        n_reused = feats.filter(
+            F.col("src_file").isin(list(incr["reused_files"]))
+        ).count()
+        mgr.extra_lineage.append(("features", "rows_reused", n_reused))
+        mgr.extra_lineage.append(
+            ("features", "rows_recomputed", feats.count() - n_reused)
+        )
     hashes = mgr.stage(
         "hashes", lambda: features_op.hashes_from_features(feats), ["features"],
         barrier="lazy",
@@ -125,11 +188,14 @@ def run_pipeline(
     # was racing recompute, not work)
     reps = mgr.stage("reps", lambda: exact.representatives(hashes), ["hashes"])
 
-    # signatures has exactly one consumer (bands) and bands' two references
-    # (bucket counts + the sized join) shuffle on the SAME key, so Spark's
-    # ReuseExchange computes the explode once and shares the shuffle output —
-    # materializing either would add a barrier plus a multi-GB checkpoint
-    # write (single-disk in local mode) for no reuse benefit
+    # signatures has two consumers — bands, and the pairs stage's id_map
+    # projection (sid -> rep_id). Both read the same cheap column slice of
+    # the MATERIALIZED feature anchor, so no extra barrier is needed; but the
+    # sid column's stability across those two re-derivations depends on feats
+    # being an eager checkpoint (the DataFrame path derives sid via
+    # monotonically_increasing_id, which is only stable over a materialized
+    # source — the file path derives sid from data and has no such coupling).
+    # features' barrier=True above is therefore load-bearing for sid.
     sigs = mgr.stage(
         "signatures",
         lambda: features_op.signatures_from_features(feats, reps),
@@ -137,7 +203,8 @@ def run_pipeline(
         barrier=False,
     )
     bands = mgr.stage(
-        "bands", lambda: lsh.band_table(sigs, cfg), ["signatures"], barrier=False
+        "bands", lambda: lsh.band_table(sigs, cfg, n_reps=n_images),
+        ["signatures"], barrier=False,
     )
     # candidate generation prefilters + dedupes inline (operators/lsh): the
     # materialized pairs table IS the verify input — raw band-collision pairs
@@ -150,11 +217,52 @@ def run_pipeline(
     )
 
     def _verify() -> DataFrame:
+        # incremental verdict reuse: a prior run's (id_l, id_r) verdict is
+        # valid iff BOTH endpoints come from unchanged input files (content
+        # identical => deterministic verify verdict identical) AND the pair
+        # was regenerated by the CURRENT pair stage (so the edge set equals a
+        # from-scratch run's exactly — a stale candidate that no longer
+        # band-collides must not survive). Everything else is re-verified.
+        fresh_pairs, cached = pairs, None
+        prior_manifest = mgr.prior_manifest("verified_edges")
+        if (
+            incr["reused_files"]
+            and prior_manifest
+            and prior_manifest.get("config_hash") == cfg.config_hash()
+        ):
+            prior_edges = mgr.prior_output("verified_edges")
+            if prior_edges is not None:
+                stable = feats.filter(
+                    F.col("src_file").isin(list(incr["reused_files"]))
+                ).select("image_id")
+                valid = (
+                    prior_edges
+                    .join(stable.withColumnRenamed("image_id", "id_l"),
+                          "id_l", "left_semi")
+                    .join(stable.withColumnRenamed("image_id", "id_r"),
+                          "id_r", "left_semi")
+                    .select("id_l", "id_r", "psnr", "lcs_len", "passed")
+                    .localCheckpoint(eager=False)  # 2 consumers: join + anti
+                )
+                cached = pairs.join(valid, ["id_l", "id_r"]).select(
+                    "id_l", "id_r", "band_src", "psnr", "lcs_len", "passed"
+                )
+                fresh_pairs = pairs.join(
+                    valid.select("id_l", "id_r"), ["id_l", "id_r"], "left_anti"
+                )
+                mgr.extra_lineage.append(
+                    ("verified_edges", "pairs_reused", cached.count())
+                )
+                mgr.extra_lineage.append(
+                    ("verified_edges", "pairs_verified", fresh_pairs.count())
+                )
         if source_path:
             # features carry (file, row group) payload locators: verify reads
             # payloads worker-side — pair bytes never cross the Arrow boundary
-            return verify.verified_edges_from_files(pairs, feats, cfg)
-        return verify.verified_edges(pairs, images, cfg)
+            out = verify.verified_edges_from_files(fresh_pairs, feats, cfg)
+        else:
+            out = verify.verified_edges(fresh_pairs, images, cfg)
+        return out.unionByName(cached) if cached is not None else out
 
     edges = mgr.stage("verified_edges", _verify, ["pairs", "features"])
 
@@ -202,8 +310,8 @@ def run_pipeline(
     # metrics: stage-1 prune ratio (BASELINE.md qualitative metric) + stage rows.
     # Counted over the checkpointed feature table (one row per input image) —
     # re-scanning the input source for a count would be a second full-footer
-    # pass at 10^6-file scale.
-    n_images = feats.count()
+    # pass at 10^6-file scale. (n_images was counted right after the feature
+    # stage — it also drives the adaptive band plan.)
     n_hashed = hashes.filter(F.col("pixel_sha256").isNotNull()).count()
     metrics = {
         "n_images": n_images,

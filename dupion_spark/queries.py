@@ -504,30 +504,42 @@ DOC_MAX_BAND_BUCKET = 16
 
 
 def _doc_pairs(sig: DataFrame) -> DataFrame:
-    """Banding + capped candidate-pair generation over the signature table."""
-    band_structs = []
+    """Banding + capped candidate-pair generation over the signature table,
+    with the image path's hot-key join discipline (operators/lsh
+    .candidate_pairs): ONLY the over-cap bucket keys — orders of magnitude
+    fewer than buckets — ever meet the band table again. The previous layout
+    joined the FULL per-bucket counts table back onto all band rows, a
+    corpus-scale sort-merge join the image path measured at 2x the rest of
+    pair generation combined. Band keys are xxhash64 LONGS (one skinny
+    column) instead of md5-of-concat strings — same bucket partition (any
+    injective key works; collisions at 2^-64 only add candidates that exact
+    verification re-checks), ~40% fewer shuffle bytes per band row. The
+    DuckDB oracle keeps md5 keys: bucket contents, caps, and hubs — the
+    semantics — are identical, so the pair sets match."""
+    keys = []
     for band in range(DOC_BANDS):
-        cols = [F.col(f"h{band * DOC_ROWS + r}").cast("string") for r in range(DOC_ROWS)]
-        band_structs.append(
-            F.struct(F.lit(band).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("key"))
-        )
-    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("b")).select(
-        "doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+        cols = [F.col(f"h{band * DOC_ROWS + r}") for r in range(DOC_ROWS)]
+        keys.append(F.xxhash64(F.lit(f"docband:{band}"), *cols))
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*keys)).alias("key")
+    ).localCheckpoint(eager=False)  # 3 consumers: hot agg, anti-join, big join
+    hot = (
+        bands.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("_n"), F.min("doc_id").alias("_hub"))
+        .filter(F.col("_n") > DOC_MAX_BAND_BUCKET)
+        .localCheckpoint(eager=False)  # 2 consumers: anti-join + big path
     )
-    counts = bands.groupBy("band", "key").agg(
-        F.count(F.lit(1)).alias("_n"), F.min("doc_id").alias("_hub")
-    )
-    sized = bands.join(counts, ["band", "key"])
-    small = sized.filter(F.col("_n") <= DOC_MAX_BAND_BUCKET)
-    left = small.select("band", "key", F.col("doc_id").alias("id_l"))
-    right = small.select("band", "key", F.col("doc_id").alias("id_r"))
+    small = bands.join(hot.select("key"), "key", "left_anti")
+    sl, sr = small.alias("l"), small.alias("r")
+    # SHUFFLE_HASH pinned for the same reason as the image path: AQE sees a
+    # small compressed shuffle and would broadcast the corpus-sized band table
     small_pairs = (
-        left.join(right, ["band", "key"])
-        .filter(F.col("id_l") < F.col("id_r"))
-        .select("id_l", "id_r")
+        sl.hint("SHUFFLE_HASH").join(sr, F.col("l.key") == F.col("r.key"))
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("id_l"), F.col("r.doc_id").alias("id_r"))
     )
     big_pairs = (
-        sized.filter(F.col("_n") > DOC_MAX_BAND_BUCKET)
+        bands.join(hot, "key")
         .filter(F.col("doc_id") != F.col("_hub"))
         .select(F.col("_hub").alias("id_l"), F.col("doc_id").alias("id_r"))
     )

@@ -7,8 +7,8 @@ after decode (driver/platterwalker.rs:352-354), so it participates in both
 file-level hash groups and directory-rollup groups.
 
 Graft: an archive is a row of the images table whose `fmt` is an archive
-format and whose `bytes` column is a real (stdlib zipfile) container of
-encoded images + caption sidecars. The source operator explodes members into
+format and whose `bytes` column is a real (stdlib zipfile/tarfile — zip,
+tar, tar.gz, tar.xz) container of encoded images + caption sidecars. The source operator explodes members into
 child rows of the same input_hint shape — worker-side, inside mapInPandas, so
 container payloads never round-trip anywhere — and emits a partition-map
 fragment (child -> parent) that feeds the standard rollup/shadow operators:
@@ -27,7 +27,10 @@ bytes (byte-level dedup of twin archives also works).
 
 from __future__ import annotations
 
+import gzip
 import io
+import lzma
+import tarfile
 import zipfile
 from collections.abc import Iterator
 
@@ -38,7 +41,10 @@ from pyspark.sql import types as T
 
 from dupion_spark.config import DedupConfig
 
-ARCHIVE_FMTS = ("zip",)
+# the reference scans zip/tar/7z/tar.gz/tar.xz (dupion/src/opts/mod.rs:52-62);
+# stdlib covers all but 7z (py7zr is not in this container — a 7z payload is
+# detected and classified but its members are not exploded)
+ARCHIVE_FMTS = ("zip", "tar", "tgz", "txz")
 _FIXED_ZIP_TIME = (1980, 1, 1, 0, 0, 0)
 
 CHILD_SCHEMA = T.StructType(
@@ -68,11 +74,46 @@ def pack_zip(members: list[tuple[str, bytes, str]]) -> bytes:
     return buf.getvalue()
 
 
+def pack_tar(members: list[tuple[str, bytes, str]], compress: str = "") -> bytes:
+    """Deterministically pack (name, image_bytes, caption) members as tar
+    (compress='' | 'gz' | 'xz'). All tar metadata is pinned (mtime 0, uid/gid
+    0, mode 644) and gzip runs with mtime=0, so equal content packs to equal
+    bytes — twin tars byte-dedup exactly like twin zips."""
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        entries = []
+        for name, data, caption in sorted(members):
+            entries.append((name, data))
+            entries.append((f"{name}.caption", (caption or "").encode("utf-8")))
+        for name, data in entries:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            info.mtime = 0
+            info.uid = info.gid = 0
+            info.uname = info.gname = ""
+            info.mode = 0o644
+            tf.addfile(info, io.BytesIO(data))
+    raw = buf.getvalue()
+    if compress == "gz":
+        return gzip.compress(raw, compresslevel=6, mtime=0)
+    if compress == "xz":
+        return lzma.compress(raw, preset=6)
+    return raw
+
+
 def _member_fmt(data: bytes) -> str:
     from dupion_spark.functions import codec
 
     if data[:4] == b"PK\x03\x04":
         return "zip"
+    if len(data) > 262 and data[257:262] == b"ustar":
+        return "tar"
+    if data[:2] == b"\x1f\x8b":
+        return "tgz"  # gzip container; members resolve via tarfile r:*
+    if data[:6] == b"\xfd7zXZ\x00":
+        return "txz"
+    if data[:6] == b"7z\xbc\xaf\x27\x1c":
+        return "7z"  # recognized but not exploded (no 7z codec in stdlib)
     if data[:4] == codec.MAGIC_LOSSLESS:
         return "png"
     if data[:4] == codec.MAGIC_LOSSY:
@@ -80,40 +121,56 @@ def _member_fmt(data: bytes) -> str:
     return "unknown"
 
 
+def _iter_members(blob: bytes) -> list[tuple[str, bytes]]:
+    """(name, data) entries of a zip or (possibly compressed) tar container."""
+    if blob[:4] == b"PK\x03\x04":
+        with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+            return [(n, zf.read(n)) for n in zf.namelist()]
+    # tarfile r:* auto-detects plain/gz/xz/bz2 framing
+    with tarfile.open(fileobj=io.BytesIO(blob), mode="r:*") as tf:
+        out = []
+        for info in tf.getmembers():
+            if not info.isfile():
+                continue
+            out.append((info.name, tf.extractfile(info).read()))
+        return out
+
+
 def _unpack_rows(parent_id: str, blob: bytes, cfg: DedupConfig) -> list[dict]:
     from dupion_spark.functions import codec, signatures
 
     rows = []
-    with zipfile.ZipFile(io.BytesIO(blob)) as zf:
-        names = [n for n in zf.namelist() if not n.endswith(".caption")]
-        captions = {
-            n[: -len(".caption")]: zf.read(n).decode("utf-8")
-            for n in zf.namelist()
-            if n.endswith(".caption")
-        }
-        for name in names:
-            data = zf.read(name)
-            fmt = _member_fmt(data)
-            if fmt in ("png", "jpeg"):
-                pixels = codec.decode_image(data)
-                h, w = pixels.shape[:2]
-                phash = signatures.phash64(pixels, cfg)
-            else:  # nested container (or opaque payload): no pixel props yet
-                h = w = 0
-                phash = 0
-            rows.append(
-                {
-                    "image_id": f"{parent_id}/{name}",
-                    "bytes": data,
-                    "w": int(w),
-                    "h": int(h),
-                    "fmt": fmt,
-                    "caption": captions.get(name, ""),
-                    "phash": int(phash),
-                    "parent_id": parent_id,
-                    "rel_name": name,
-                }
-            )
+    entries = _iter_members(blob)
+    names = [n for n, _ in entries if not n.endswith(".caption")]
+    captions = {
+        n[: -len(".caption")]: d.decode("utf-8")
+        for n, d in entries
+        if n.endswith(".caption")
+    }
+    data_by_name = dict(entries)
+    for name in names:
+        data = data_by_name[name]
+        fmt = _member_fmt(data)
+        if fmt in ("png", "jpeg"):
+            pixels = codec.decode_image(data)
+            h, w = pixels.shape[:2]
+            phash = signatures.phash64(pixels, cfg)
+        else:  # nested container (or opaque payload): no pixel props yet
+            h = w = 0
+            phash = 0
+        rows.append(
+            {
+                "image_id": f"{parent_id}/{name}",
+                "bytes": data,
+                "w": int(w),
+                "h": int(h),
+                "fmt": fmt,
+                "caption": captions.get(name, ""),
+                "phash": int(phash),
+                "parent_id": parent_id,
+                "rel_name": name,
+            }
+        )
     return rows
 
 
@@ -128,7 +185,14 @@ def explode_archives(images: DataFrame, cfg: DedupConfig) -> DataFrame:
         for pdf in batches:
             out = []
             for image_id, blob in zip(pdf["image_id"], pdf["bytes"]):
-                out.extend(_unpack_rows(image_id, bytes(blob), cfg))
+                try:
+                    out.extend(_unpack_rows(image_id, bytes(blob), cfg))
+                except (zipfile.BadZipFile, tarfile.TarError, EOFError,
+                        lzma.LZMAError, gzip.BadGzipFile):
+                    # corrupt/mislabeled container (F4 validity): contributes
+                    # no children; the row itself keeps its file nature (byte
+                    # hash) upstream, matching dupion's decode-failure skip
+                    continue
             yield pd.DataFrame(
                 out, columns=[f.name for f in CHILD_SCHEMA.fields]
             )

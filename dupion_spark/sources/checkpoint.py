@@ -53,17 +53,29 @@ def fingerprint_files(source_path: str) -> str:
     (name, size, mtime_ns) triples — the graft of dupion's per-row
     (ctime, size) cache validation (vfs/entry.rs:173-198) to file granularity.
     A changed/added/removed input file changes the fingerprint, which changes
-    every manifest hash in the chain, so NOTHING stale is reused. File
-    discovery is shared with the feature scan (sources/files.py) so the
-    fingerprint covers exactly the files the scan reads."""
+    every manifest hash in the chain, so nothing stale is reused WHOLE; the
+    feature stage additionally keeps a per-file map (file_fingerprints) so a
+    stale chain can still be recomputed INCREMENTALLY — only changed files'
+    rows are re-extracted (pipeline.run_pipeline). File discovery is shared
+    with the feature scan (sources/files.py) so the fingerprint covers
+    exactly the files the scan reads."""
+    h = sha256()
+    for f, fp in sorted(file_fingerprints(source_path).items()):
+        h.update(f"{os.path.basename(f)}:{fp};".encode())
+    return h.hexdigest()[:16]
+
+
+def file_fingerprints(source_path: str) -> dict[str, str]:
+    """{file_path: "size:mtime_ns"} for every parquet file under the source —
+    the per-FILE granularity of dupion's (ctime,size) row validation. The
+    incremental feature rebuild keys row reuse on this map."""
     from dupion_spark.sources.files import list_parquet_files
 
-    files = list_parquet_files(source_path)
-    h = sha256()
-    for f in files:
+    out = {}
+    for f in list_parquet_files(source_path):
         st = os.stat(f)
-        h.update(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns};".encode())
-    return h.hexdigest()[:16]
+        out[f] = f"{st.st_size}:{st.st_mtime_ns}"
+    return out
 
 
 def iceberg_catalog(spark: SparkSession) -> str | None:
@@ -106,6 +118,9 @@ class CheckpointManager:
         self.cfg = cfg
         self.input_fingerprint = input_fingerprint
         self.records: list[StageRecord] = []
+        # extra per-partition lineage rows stages may emit (e.g. the
+        # incremental feature rebuild's rows_reused / rows_recomputed split)
+        self.extra_lineage: list[tuple[str, str, int]] = []
         self._hashes: dict[str, str] = {}
         # table-format backend: Iceberg when a catalog is configured AND its
         # class loads; parquet+manifest otherwise. Manifest chain identical.
@@ -131,9 +146,53 @@ class CheckpointManager:
         assert self.root
         return os.path.join(self.root, f"{stage}.manifest.json")
 
-    def _data_path(self, stage: str) -> str:
+    def _data_path(self, stage: str, expected_hash: str = "") -> str:
+        """Stage data dirs are VERSIONED by manifest hash (`<stage>@<hash8>`)
+        so an incremental rebuild can lazily READ the prior version while
+        WRITING the new one — an in-place overwrite would delete the files a
+        running read is scanning. Older versions are garbage-collected after
+        the new manifest commits (_gc_stage_dirs)."""
         assert self.root
-        return os.path.join(self.root, stage)
+        if expected_hash:
+            return os.path.join(self.root, f"{stage}@{expected_hash[:8]}")
+        return os.path.join(self.root, stage)  # legacy unversioned layout
+
+    def _gc_stage_dirs(self, stage: str, keep: str) -> None:
+        import shutil
+
+        for entry in os.listdir(self.root):
+            if entry == keep or not os.path.isdir(os.path.join(self.root, entry)):
+                continue
+            if entry == stage or entry.startswith(f"{stage}@"):
+                shutil.rmtree(os.path.join(self.root, entry), ignore_errors=True)
+
+    # -- prior-run access (incremental rebuilds) ------------------------------
+    def prior_manifest(self, stage: str) -> dict | None:
+        """The stage's on-disk manifest from the PREVIOUS run, valid or stale.
+        Incremental rebuilds use its per-file map / config hash to decide what
+        is still reusable at row granularity."""
+        if not self.root:
+            return None
+        path = self._manifest_path(stage)
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            return json.load(fh)
+
+    def prior_output(self, stage: str) -> DataFrame | None:
+        """The stage's previous parquet output (None when absent or when the
+        Iceberg backend owns the tables — createOrReplace would race a lazy
+        read of the same table, so the catalog path always rebuilds whole)."""
+        if self.catalog:
+            return None
+        prior = self.prior_manifest(stage)
+        if not prior:
+            return None
+        data_dir = prior.get("data_dir", stage)
+        path = os.path.join(self.root, data_dir)
+        if not os.path.isdir(path):
+            return None
+        return self.spark.read.parquet(path)
 
     def _expected_manifest(self, stage: str, parents: list[str]) -> dict:
         missing = [p for p in parents if p not in self._hashes]
@@ -166,6 +225,7 @@ class CheckpointManager:
         parents: list[str] | None = None,
         materialize: bool = True,
         barrier: bool | str = True,
+        manifest_extra: Callable[[], dict] | None = None,
     ) -> DataFrame:
         """Run (or resume) a named stage. With no checkpoint root, just builds.
 
@@ -202,16 +262,19 @@ class CheckpointManager:
         expected = self._expected_manifest(name, parents)
         expected_hash = self._hash_manifest(expected)
         manifest_path = self._manifest_path(name)
-        data_path = self._data_path(name)
+        data_path = self._data_path(name, expected_hash)
 
         if os.path.exists(manifest_path):
             with open(manifest_path) as fh:
                 on_disk = json.load(fh)
             if self._hash_manifest(on_disk) == expected_hash:
+                resume_path = os.path.join(
+                    self.root, on_disk.get("data_dir", name)
+                )
                 df = (
                     self.spark.read.table(self._table_ident(name))
                     if self.catalog
-                    else self.spark.read.parquet(data_path)
+                    else self.spark.read.parquet(resume_path)
                 )
                 self._hashes[name] = expected_hash
                 self.records.append(
@@ -243,9 +306,16 @@ class CheckpointManager:
             rows = -1
         wall_ms = int((time.time() - start) * 1000)
         manifest = dict(expected, rows=rows, wall_ms=wall_ms,
-                        snapshot_id=snapshot_id, table_format=self.table_format)
+                        snapshot_id=snapshot_id, table_format=self.table_format,
+                        data_dir=os.path.basename(data_path))
+        if manifest_extra:
+            manifest.update(manifest_extra())
         with open(manifest_path, "w") as fh:
             json.dump(manifest, fh, sort_keys=True)
+        if materialize and not self.catalog:
+            # the new version is committed — retire prior versions (they were
+            # only kept so an incremental build could read them during write)
+            self._gc_stage_dirs(name, keep=os.path.basename(data_path))
         self._hashes[name] = expected_hash
         self.records.append(StageRecord(name, rows, wall_ms, False, expected_hash))
         return df
@@ -256,6 +326,9 @@ class CheckpointManager:
         rows = [
             (r.stage, "*", r.rows_out, r.wall_ms, r.resumed, r.manifest_hash)
             for r in self.records
+        ] + [
+            (stage, part_key, rows_out, None, False, "")
+            for stage, part_key, rows_out in self.extra_lineage
         ]
         return self.spark.createDataFrame(
             rows, "stage string, part_key string, rows_out long, wall_ms long, "

@@ -41,15 +41,28 @@ def read_image_stream(spark: SparkSession, input_dir: str) -> DataFrame:
     )
 
 
-def dedup_transform(stream: DataFrame) -> DataFrame:
+def dedup_transform(
+    stream: DataFrame,
+    event_time_col: str | None = None,
+    watermark: str = "1 minute",
+) -> DataFrame:
     """Content-hash + event-time columns, then streaming duplicate drop.
 
-    The ingest timestamp stands in for event time (the driver fixture has no
-    ts column); real deployments carry an ingest ts in the table."""
-    hashed = stream.withColumn("byte_sha256", F.sha2(F.col("bytes"), 256)).withColumn(
-        "ingest_ts", F.current_timestamp()
-    )
-    return hashed.withWatermark("ingest_ts", "1 minute").dropDuplicatesWithinWatermark(
+    event_time_col: a timestamp column in the stream to watermark on (real
+    deployments carry an ingest ts in the table; late duplicates are
+    suppressed/admitted relative to IT, deterministically). When absent —
+    auto-detected if the stream has an `ingest_ts` column — the processing
+    timestamp stands in, keeping state bounded but making suppression depend
+    on arrival time (the driver fixture has no ts column)."""
+    if event_time_col is None and "ingest_ts" in stream.columns:
+        event_time_col = "ingest_ts"
+    hashed = stream.withColumn("byte_sha256", F.sha2(F.col("bytes"), 256))
+    if event_time_col is None:
+        hashed = hashed.withColumn("ingest_ts", F.current_timestamp())
+        event_time_col = "ingest_ts"
+    elif event_time_col != "ingest_ts":
+        hashed = hashed.withColumn("ingest_ts", F.col(event_time_col))
+    return hashed.withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(
         ["byte_sha256"]
     )
 

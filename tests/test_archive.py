@@ -10,7 +10,11 @@ import pytest
 from dupion_spark.config import DedupConfig
 from dupion_spark.functions.codec import encode_png
 from dupion_spark.operators import exact, rollup
-from dupion_spark.sources.archive import flatten_with_archives, pack_zip
+from dupion_spark.sources.archive import (
+    flatten_with_archives,
+    pack_tar,
+    pack_zip,
+)
 
 
 def _img(rng, dim=16):
@@ -86,3 +90,80 @@ def test_container_map_covers_every_child(archive_fixture):
         for r in flat.filter("image_id LIKE '%/%'").select("image_id").collect()
     }
     assert child_ids == flat_children
+
+
+# --- tar / tar.gz / tar.xz (reference extension set, opts/mod.rs:52-62) ----
+@pytest.fixture(scope="module")
+def tar_fixture(spark):
+    rng = np.random.default_rng(11)
+    cfg = DedupConfig()
+    shared = _img(rng)
+    loose = encode_png(shared)
+    members = [
+        ("t0.png", loose, "tar cap zero"),
+        ("t1.png", encode_png(_img(rng)), "tar cap one"),
+    ]
+    plain = pack_tar(members)
+    twin_gz = pack_tar(members, compress="gz")       # tgzA/tgzB: identical
+    inner_tar = pack_tar([("deep.png", encode_png(_img(rng)), "deep tar cap")])
+    mixed_zip = pack_zip([("inner.tar", inner_tar, "")])  # tar nested in zip
+
+    rows = [
+        ("looseT", loose, 16, 16, "png", "loose tar cap", 0),
+        ("tarA", plain, 0, 0, "tar", "", 0),
+        ("tgzA", twin_gz, 0, 0, "tgz", "", 0),
+        ("tgzB", twin_gz, 0, 0, "tgz", "", 0),
+        ("txzA", pack_tar(members, compress="xz"), 0, 0, "txz", "", 0),
+        ("mixNest", mixed_zip, 0, 0, "zip", "", 0),
+        ("badTgz", b"\x1f\x8b\x08corrupt-not-really-gzip", 0, 0, "tgz", "", 0),
+    ]
+    images = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, "
+              "caption string, phash long"
+    )
+    flat, cmap = flatten_with_archives(images, cfg)
+    return flat.cache(), cmap.cache()
+
+
+def test_tar_children_all_formats(tar_fixture):
+    flat, _ = tar_fixture
+    ids = {r["image_id"] for r in flat.select("image_id").collect()}
+    assert {"tarA/t0.png", "tgzA/t0.png", "tgzB/t1.png", "txzA/t0.png"} <= ids
+    assert "mixNest/inner.tar" in ids              # tar nested inside zip
+    assert "mixNest/inner.tar/deep.png" in ids     # ...explodes at depth 2
+    assert "badTgz" in ids                          # corrupt container keeps
+    assert not any(i.startswith("badTgz/") for i in ids)  # ...but no children
+
+
+def test_tar_member_caption_and_dedup_with_loose(tar_fixture):
+    flat, _ = tar_fixture
+    row = flat.filter("image_id = 'tarA/t0.png'").collect()[0]
+    assert row["caption"] == "tar cap zero"
+    assert (row["w"], row["h"], row["fmt"]) == (16, 16, "png")
+    hashes = exact.exact_hash_table(flat, DedupConfig())
+    groups = exact.exact_groups(hashes).collect()
+    by_members = [set(g["members"]) for g in groups]
+    # the same pixels appear loose and inside tar / tar.gz / tar.xz
+    assert any(
+        {"looseT", "tarA/t0.png", "tgzA/t0.png", "txzA/t0.png"} <= m
+        for m in by_members
+    )
+
+
+def test_twin_tar_archives_detected(tar_fixture):
+    flat, cmap = tar_fixture
+    hashes = exact.exact_hash_table(flat, DedupConfig())
+    roll = rollup.rollup_table(hashes, cmap)
+    twins = {r["part_key"]: r["n_twins"]
+             for r in rollup.duplicated_partitions(roll).collect()}
+    # rollup twins are CONTENT twins: tar, tar.gz x2, and tar.xz of the same
+    # members all share one rollup hash regardless of container framing —
+    # exactly dupion's duplicated-folder semantics across archive formats
+    assert {twins.get(k) for k in ("tarA", "tgzA", "tgzB", "txzA")} == {4}
+
+
+def test_pack_tar_deterministic():
+    members = [("a.png", b"AAA", "capA"), ("b.png", b"BBB", "capB")]
+    assert pack_tar(members) == pack_tar(list(reversed(members)))
+    assert pack_tar(members, "gz") == pack_tar(members, "gz")
+    assert pack_tar(members, "xz") == pack_tar(members, "xz")

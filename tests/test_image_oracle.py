@@ -1,7 +1,9 @@
 """Local replica of the driver's correctness harness for the IMAGE queries:
 Spark pipeline outputs vs DuckDB oracles over the materialized golden tables
-(sources/synth.py single-process expected values). Runs at sf0.01 — the
-driver's correctness scale, which the image oracle SQL binds to."""
+(sources/synth.py single-process expected values). Runs at BOTH sf0.001 and
+sf0.01 — the oracle SQL is generated per scale (oracle_sql_for_scale), so a
+driver value-checking at any scale gets matching oracles (round-3 verdict
+item #4: the oracles must not hard-bind to one fixture)."""
 
 from __future__ import annotations
 
@@ -11,8 +13,6 @@ import duckdb
 import pytest
 
 from dupion_spark import image_queries as IQ
-
-SF_DIR = "/root/testdata/sf0.01"
 
 
 def _norm(value):
@@ -32,17 +32,26 @@ def _row_multiset(columns, rows):
     return sorted(",".join(_norm(r[i]) for i in order) for r in rows)
 
 
-ORACLES = IQ.image_oracle_sql()
+QUERY_NAMES = sorted(IQ.image_queries())
+
+# full board at the driver's correctness scale; the cheap 300-row scale
+# proves scale-unbinding on the non-pipeline queries (full-pipeline queries
+# there would re-run the whole engine a second time for no extra coverage)
+CASES = [("sf0.01", n) for n in QUERY_NAMES] + [
+    ("sf0.001", n)
+    for n in ("img_exact_groups", "img_rollup", "img_treediff", "img_tree_rows")
+]
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
-def test_image_query_matches_golden_oracle(spark, name):
-    spark_df = IQ.image_queries()[name](spark, SF_DIR)
+@pytest.mark.parametrize("scale,name", CASES, ids=[f"{s}-{n}" for s, n in CASES])
+def test_image_query_matches_golden_oracle(spark, scale, name):
+    IQ.ensure_oracle_fixture(scale)
+    spark_df = IQ.image_queries()[name](spark, f"/root/testdata/{scale}")
     spark_rows = [tuple(r) for r in spark_df.collect()]
     spark_cols = spark_df.columns
 
     con = duckdb.connect()
-    res = con.execute(ORACLES[name])
+    res = con.execute(IQ.oracle_sql_for_scale(scale)[name])
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
     con.close()

@@ -5,8 +5,11 @@ Scenario (VERDICT r2 "What's wrong" #2): a genuine near pair (phash hamming
 shared bucket is OVER the all-pairs cap, where neither member is the bucket
 hub and both sit > 12 bits from it. Filtered star links drop both hub edges,
 so the pair lost all connectivity. The fix sub-bands over-cap pixel buckets
-(8 sub-bands of 8 phash bits, 1-bit probes), which must emit the DIRECT
-(A, B) candidate pair.
+(8 cyclic byte-pair windows: 16-bit sub keys for entropy — the round-3
+ADVICE showed 8-bit sub keys saturating at scale — while keeping 8
+alternative collision routes via overlap), which must emit the DIRECT
+(A, B) candidate pair. Also proves the corpus-ADAPTIVE band plans' hamming
+guarantees (4/3/2 bands -> 11/8/5).
 """
 
 from __future__ import annotations
@@ -117,14 +120,34 @@ def _top_level_buckets(ph: int, w: int = 64, h: int = 64) -> set:
 
 
 def _sub_buckets(ph: int) -> set:
-    """(sub, probe_val) set at 8x8-bit sub-bands, 1-bit probes."""
+    """(sub, probe_val) set at 8 cyclic byte-pair windows (16-bit sub keys,
+    1-bit probes) — the second-level cascade for over-cap pixel buckets.
+    Every bit lies in exactly 2 windows, so hamming d => some window with
+    <= floor(2d/8) diffs (= 2 at d <= 11, inside the probe radius)."""
     out = set()
     u = ph & ((1 << 64) - 1)
     for sub in range(8):
-        val = (u >> (sub * 8)) & 0xFF
+        lo = (u >> (sub * 8)) & 0xFF
+        hi = (u >> (((sub + 1) % 8) * 8)) & 0xFF
+        val = (hi << 8) | lo
         out.add((sub, val))
-        for bit in range(8):
+        for bit in range(16):
             out.add((sub, val ^ (1 << bit)))
+    return out
+
+
+def _plan_buckets(ph: int, n_bands: int) -> set:
+    """Top-level probe-bucket set under the ADAPTIVE plan's n_bands
+    (width = 64 // n_bands, 1-bit probes) — mirrors _hash64_band_keys."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    out = set()
+    u = ph & ((1 << 64) - 1)
+    for band in range(n_bands):
+        val = (u >> (band * width)) & mask
+        out.add((band, val))
+        for bit in range(width):
+            out.add((band, val ^ (1 << bit)))
     return out
 
 
@@ -141,6 +164,35 @@ def test_multiprobe_guarantee_hamming_11():
             b ^= 1 << int(bit)
         assert _top_level_buckets(a) & _top_level_buckets(b), (a, b, d)
         assert _sub_buckets(a) & _sub_buckets(b), (a, b, d)
+
+
+@pytest.mark.parametrize("n_bands,guarantee", [(4, 11), (3, 8), (2, 5)])
+def test_adaptive_plan_guarantees(n_bands, guarantee):
+    """Each adaptive band plan catches every pair within its documented
+    hamming radius (guarantee = 3*bands - 1 under 1-bit symmetric probing),
+    and the sub-band cascade covers the same radius."""
+    rng = np.random.default_rng(n_bands)
+    covered = n_bands * (64 // n_bands)  # bits the bands actually see
+    for _ in range(300):
+        a = int(rng.integers(0, 1 << 63))
+        d = int(rng.integers(1, guarantee + 1))
+        bits = rng.choice(covered, size=d, replace=False)
+        b = a
+        for bit in bits:
+            b ^= 1 << int(bit)
+        assert _plan_buckets(a, n_bands) & _plan_buckets(b, n_bands), (a, b, d)
+        assert _sub_buckets(a) & _sub_buckets(b), (a, b, d)
+
+
+def test_pixel_band_plan_thresholds():
+    cfg = DedupConfig()
+    assert cfg.pixel_band_plan(None) == 4
+    assert cfg.pixel_band_plan(1_200) == 4
+    assert cfg.pixel_band_plan(399_999) == 4
+    assert cfg.pixel_band_plan(600_000) == 3
+    assert cfg.pixel_band_plan(50_000_000) == 2
+    frozen = DedupConfig(adaptive_banding=False)
+    assert frozen.pixel_band_plan(50_000_000) == 4
 
 
 def test_probe_sets_disjoint_beyond_radius():

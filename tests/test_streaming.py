@@ -41,3 +41,66 @@ def test_streaming_dedup_drains_and_dedups(spark, stream_dirs, fixture_small):
     query2 = run_stream(spark, input_dir, out_dir, ckpt_dir)
     query2.awaitTermination(timeout=120)
     assert spark.read.parquet(out_dir).count() == distinct_blobs
+
+
+def test_event_time_watermark_suppresses_then_readmits(spark, tmp_path):
+    """With an explicit event-time column, duplicate suppression is
+    deterministic in EVENT time: a duplicate within the watermark window is
+    dropped; once the watermark passes the first sighting's state expiry,
+    the same content is re-admitted (state evicted). Three availableNow
+    drains against one checkpoint = three ordered ingest rounds."""
+    from pyspark.sql import types as T
+
+    from dupion_spark.streaming.dedup_stream import IMAGE_SCHEMA, dedup_transform
+
+    schema = T.StructType(
+        IMAGE_SCHEMA.fields + [T.StructField("ingest_ts", T.TimestampType(), True)]
+    )
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt_dir = str(tmp_path / "ckpt")
+    os.makedirs(input_dir)
+
+    def write_rows(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(input_dir)
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(input_dir)
+        )
+        q = (
+            dedup_transform(stream, event_time_col="ingest_ts")
+            .select("image_id", "byte_sha256", "ingest_ts")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination(timeout=300)
+
+    import datetime as dt
+
+    def ts(minute, second=0):
+        return dt.datetime(2026, 1, 1, 10, 0, 0) + dt.timedelta(
+            minutes=minute, seconds=second
+        )
+
+    X, Z = b"payload-X", b"payload-Z"
+    row = lambda i, b, t: (i, b, 1, 1, "png", "", 0, t)
+
+    write_rows([row("a1", X, ts(0))])
+    drain()  # watermark after round 1: 09:59 — X state live until 10:01
+    write_rows([row("a2", X, ts(0, 30)),    # dup within watermark: suppressed
+                row("c1", Z, ts(120))])     # advances watermark to 11:59
+    drain()
+    write_rows([row("a3", X, ts(121))])     # X state expired: re-admitted
+    drain()
+
+    out = {r["image_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert out == {"a1", "c1", "a3"}, out
