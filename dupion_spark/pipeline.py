@@ -259,12 +259,24 @@ def run_pipeline(
         if source_path:
             # features carry (file, row group) payload locators: verify reads
             # payloads worker-side — pair bytes never cross the Arrow boundary
-            out = verify.verified_edges_from_files(fresh_pairs, feats, cfg)
+            out = verify.verified_edges_from_files(
+                fresh_pairs, feats, cfg, gather_metrics=gather_acc
+            )
         else:
             out = verify.verified_edges(fresh_pairs, images, cfg)
         return out.unionByName(cached) if cached is not None else out
 
+    gather_acc: dict = {}
     edges = mgr.stage("verified_edges", _verify, ["pairs", "features"])
+    if gather_acc:
+        # decompress-volume accounting for the page-selective gather
+        # (operators/verify.gather_payloads): bytes_total = what whole-chunk
+        # reads would have decompressed, bytes_read = what the page walk paid
+        for k in ("bytes_read", "bytes_total", "pages_read", "pages_total",
+                  "fallback_rgs"):
+            mgr.extra_lineage.append(
+                ("verified_edges", f"gather_{k}", int(gather_acc[k].value))
+            )
 
     def _cluster() -> DataFrame:
         near = edges.filter(F.col("passed")).select("id_l", "id_r")

@@ -34,7 +34,9 @@ VOCAB = (
 SIZES = (16, 32, 64)
 
 # bump when the generation logic changes — invalidates materialized fixtures
-SYNTH_VERSION = 5
+# (v6: images.parquet layout only — bytes column no longer dictionary-encoded,
+# 256 KiB data pages — values identical to v5; enables page-selective gather)
+SYNTH_VERSION = 6
 
 
 @dataclass
@@ -411,6 +413,19 @@ def materialize(out_dir: str, n_rows: int, cfg: DedupConfig | None = None) -> Sy
             # small row groups = scan-split granularity for the worker-side
             # direct-read feature extractor (operators/features.py)
             row_group_size=512,
+            # unique multi-KB blobs must NOT be dictionary-encoded: a dict-
+            # encoded chunk keeps every payload in its dictionary page, which
+            # the page-selective verify gather (functions/pagegather) would
+            # have to decompress whole regardless of how few rows it needs —
+            # production blob writers disable dict for binary payloads for
+            # the same reason. Bounded data pages make the gather's unit of
+            # decompression ~a few images instead of the whole chunk.
+            use_dictionary=["image_id", "fmt", "caption"],
+            data_page_size=256 * 1024,
+            # pyarrow only evaluates data_page_size every write_batch_size
+            # values — the default (1024) exceeds the 512-row groups, which
+            # would leave one giant page per chunk
+            write_batch_size=64,
         )
         for name in (
             "golden_clusters", "golden_pairs", "partition_map",

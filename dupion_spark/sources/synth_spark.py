@@ -105,5 +105,14 @@ def generate_scaling_fixture(
             for pdf in batches:
                 yield pd.DataFrame([_make_row(int(i), seed, cfg) for i in pdf["id"]])
 
-        base.mapInPandas(gen, IMAGE_SCHEMA).write.mode("overwrite").parquet(out_path)
+        # dictionary encoding off + bounded pages: unique image blobs gain
+        # nothing from a dictionary (and a dict-encoded chunk defeats the
+        # page-selective verify gather — see sources/synth.py); 256 KiB pages
+        # keep the gather's decompress unit at ~a few images
+        (
+            base.mapInPandas(gen, IMAGE_SCHEMA).write.mode("overwrite")
+            .option("parquet.enable.dictionary", "false")
+            .option("parquet.page.size", str(256 * 1024))
+            .parquet(out_path)
+        )
     return spark.read.parquet(out_path)

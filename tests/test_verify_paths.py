@@ -13,7 +13,15 @@ from dupion_spark.pipeline import run_pipeline
 @pytest.fixture(scope="module")
 def source_dir(images_df, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("vp") / "images_src")
-    images_df.coalesce(4).write.mode("overwrite").parquet(path)
+    # production blob-table layout: no dictionary for unique payloads,
+    # bounded pages (see sources/synth.py) — the page-selective gather's
+    # fast path must engage on files written this way
+    (
+        images_df.coalesce(4).write.mode("overwrite")
+        .option("parquet.enable.dictionary", "false")
+        .option("parquet.page.size", str(64 * 1024))
+        .parquet(path)
+    )
     return path
 
 
@@ -41,3 +49,19 @@ def test_worker_side_verify_matches_dataframe_path(spark, images_df, source_dir)
         (r["image_id"], r["cluster_root"]) for r in via_df.clusters.collect()
     )
     assert clusters_files == clusters_df
+
+    # the page-selective gather must have ENGAGED (not silently fallen back)
+    # and decompressed strictly less than whole-chunk reads would have
+    gm = {
+        r["part_key"]: r["rows_out"]
+        for r in via_files.lineage.filter(
+            "stage = 'verified_edges' AND part_key LIKE 'gather_%'"
+        ).collect()
+    }
+    assert gm, "gather metrics missing from lineage"
+    assert gm["gather_fallback_rgs"] == 0
+    # at this tiny scale candidates can touch every page, so only the
+    # structural invariants hold here; material savings are proven by
+    # tests/test_pagegather.py and measured on the scaling fixture
+    assert 0 < gm["gather_pages_read"] <= gm["gather_pages_total"]
+    assert 0 < gm["gather_bytes_read"] <= gm["gather_bytes_total"]
