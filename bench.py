@@ -156,7 +156,8 @@ def _scale_worker(fixture_path: str, cores: int) -> None:
               for s, v in result.metrics["stages"].items()}
     spark.stop()
     print(json.dumps({"cores": cores, "sec": round(elapsed, 2), "n_images": n,
-                      "phases": phases, "stages": stages}))
+                      "phases": phases, "stages": stages,
+                      "gather": result.metrics.get("gather")}))
 
 
 def _check_planted_worker(fixture_path: str) -> None:

@@ -332,6 +332,8 @@ def run_pipeline(
         "stages": {r.stage: {"rows": r.rows_out, "wall_ms": r.wall_ms, "resumed": r.resumed}
                    for r in mgr.records},
     }
+    if gather_acc:
+        metrics["gather"] = {k: int(v.value) for k, v in gather_acc.items()}
 
     # A7 metrics TABLE (north_rule: metrics tables, not just a dict): global
     # counters + per-stage wall/rows, appendable to a run-history table

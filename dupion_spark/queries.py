@@ -1315,6 +1315,69 @@ def _sql_emb_lsh() -> str:
 SQL_EMB_LSH = _sql_emb_lsh()
 
 
+IVF_K = 16  # coarse-quantizer cells; production sizes K ~ sqrt(corpus)
+IVF_NPROBE = 4  # cells scanned per query (recall/cost dial)
+
+
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k (operators/ann.py): deterministic K-cell coarse
+    quantizer (seed centroids = the K smallest vec_ids, iters=0 so the
+    DuckDB oracle can reproduce the identical index), map-side cell
+    assignment (zero corpus shuffle), nprobe-cell search. The third ANN
+    shape next to brute-force (emb_cosine_topk) and multiprobe sign-LSH
+    (emb_lsh_knn); unlike LSH buckets, IVF cells PARTITION the corpus, so
+    search needs no candidate dedup. Lloyd-refined centroids (the quality
+    path, SQL-inexpressible floats) are covered by tests/test_ann.py."""
+    from dupion_spark.operators import ann
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    vecs = ann.normed_vecs(emb).localCheckpoint(eager=False)  # seed + assign + query
+    cents = ann.seed_centroids(vecs, IVF_K)
+    assigned = ann.ivf_assign(vecs, cents)
+    q = vecs.filter(F.col("vec_id") < EMB_N_QUERIES)
+    return ann.ivf_search(assigned, cents, q, EMB_TOPK, IVF_NPROBE)
+
+
+SQL_EMB_IVF = f"""
+WITH vecs AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v,
+         sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS norm
+  FROM embeddings
+), cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id, v AS cv, norm AS cn
+  FROM vecs ORDER BY vec_id LIMIT {IVF_K}
+), assigned AS (
+  SELECT vec_id, v, norm, cell_id FROM (
+    SELECT t.vec_id, t.v, t.norm, c.cell_id,
+           row_number() OVER (PARTITION BY t.vec_id ORDER BY
+             round(list_sum([t.v[i] * c.cv[i] for i in range(1, {EMB_DIM + 1})])
+                   / (t.norm * c.cn), 9) DESC,
+             c.cell_id ASC) AS rn
+    FROM vecs t CROSS JOIN cents c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, qv, qn, cell_id FROM (
+    SELECT q.vec_id AS query_id, q.v AS qv, q.norm AS qn, c.cell_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             round(list_sum([q.v[i] * c.cv[i] for i in range(1, {EMB_DIM + 1})])
+                   / (q.norm * c.cn), 9) DESC,
+             c.cell_id ASC) AS rn
+    FROM vecs q CROSS JOIN cents c WHERE q.vec_id < {EMB_N_QUERIES}
+  ) WHERE rn <= {IVF_NPROBE}
+), scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round(list_sum([p.qv[i] * a.v[i] for i in range(1, {EMB_DIM + 1})])
+               / (p.qn * a.norm), 6) AS cosine
+  FROM probes p JOIN assigned a ON p.cell_id = a.cell_id AND a.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {EMB_TOPK}
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1352,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_lsh_buckets": q_emb_lsh_buckets,
         "emb_lsh_knn": q_emb_lsh_knn,
+        "emb_ivf_topk": q_emb_ivf_topk,
     }
 
 
@@ -1389,4 +1453,5 @@ def oracle_sql() -> dict[str, str]:
         "emb_cosine_topk": SQL_EMB_TOPK,
         "emb_lsh_buckets": SQL_EMB_LSH,
         "emb_lsh_knn": SQL_EMB_KNN,
+        "emb_ivf_topk": SQL_EMB_IVF,
     }

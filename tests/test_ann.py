@@ -40,3 +40,98 @@ def test_lsh_knn_ranks_are_dense_per_query(spark):
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)
         assert len(ranks) <= Q.EMB_TOPK
+
+
+# ---------------------------------------------------------------------------
+# IVF (operators/ann.py)
+# ---------------------------------------------------------------------------
+from pyspark.sql import functions as F  # noqa: E402
+
+from dupion_spark.operators import ann  # noqa: E402
+
+
+def _brute_pairs(spark):
+    return {
+        (r["query_id"], r["neighbor_id"])
+        for r in Q.q_emb_cosine_topk(spark, SF_DIR).collect()
+    }
+
+
+def test_ivf_cells_partition_corpus(spark):
+    (emb,) = Q._tables(spark, SF_DIR, "embeddings")
+    vecs = ann.normed_vecs(emb)
+    cents = ann.seed_centroids(vecs, Q.IVF_K)
+    assigned = ann.ivf_assign(vecs, cents)
+    n = vecs.count()
+    # exactly one cell per vector, all cells in range: the no-dedup search
+    # invariant (cells PARTITION the corpus, unlike LSH buckets)
+    assert assigned.count() == n
+    assert assigned.select("vec_id").distinct().count() == n
+    bad = assigned.filter(
+        (F.col("cell_id") < 0) | (F.col("cell_id") >= Q.IVF_K)
+    ).count()
+    assert bad == 0
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """nprobe == K scans every cell -> IVF must return EXACTLY the
+    brute-force top-k (same ids, ranks, cosines)."""
+    (emb,) = Q._tables(spark, SF_DIR, "embeddings")
+    vecs = ann.normed_vecs(emb).localCheckpoint(eager=False)
+    cents = ann.seed_centroids(vecs, Q.IVF_K)
+    assigned = ann.ivf_assign(vecs, cents)
+    q = vecs.filter(F.col("vec_id") < Q.EMB_N_QUERIES)
+    ivf = sorted(
+        tuple(r) for r in
+        ann.ivf_search(assigned, cents, q, Q.EMB_TOPK, nprobe=Q.IVF_K).collect()
+    )
+    brute = sorted(tuple(r) for r in Q.q_emb_cosine_topk(spark, SF_DIR).collect())
+    assert ivf == brute
+
+
+def test_ivf_recall_and_dense_ranks(spark):
+    rows = Q.q_emb_ivf_topk(spark, SF_DIR).collect()
+    by_q: dict[int, list[int]] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for qid, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), (qid, ranks)
+        assert len(ranks) <= Q.EMB_TOPK
+    brute = _brute_pairs(spark)
+    got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    recall = len(brute & got) / len(brute)
+    print(f"\nIVF recall vs brute force @ nprobe={Q.IVF_NPROBE}/{Q.IVF_K}: "
+          f"{recall:.3f}")
+    # nprobe/K = 1/4 of a near-random corpus; the gate sits below the
+    # ~2x-random-scan behavior seen for LSH so fixture regen can't flap it
+    assert recall >= 0.3, recall
+
+
+def test_ivf_lloyd_refine_keeps_invariants(spark):
+    """Lloyd rounds must actually move centroids, keep the corpus fully
+    partitioned, and not degrade nprobe recall below the unrefined gate."""
+    (emb,) = Q._tables(spark, SF_DIR, "embeddings")
+    vecs = ann.normed_vecs(emb).localCheckpoint(eager=False)
+    seeds = ann.seed_centroids(vecs, Q.IVF_K)
+    refined = ann.lloyd_refine(vecs, seeds, iters=2)
+    assert [c["cell_id"] for c in refined] == [c["cell_id"] for c in seeds]
+    moved = sum(
+        1 for s, r in zip(seeds, refined)
+        if any(abs(a - b) > 1e-12 for a, b in zip(s["cv"], r["cv"]))
+    )
+    assert moved > 0, "Lloyd refinement changed nothing"
+    assigned = ann.ivf_assign(vecs, refined)
+    n = vecs.count()
+    assert assigned.count() == n
+    assert assigned.select("vec_id").distinct().count() == n
+    q = vecs.filter(F.col("vec_id") < Q.EMB_N_QUERIES)
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann.ivf_search(
+            assigned, refined, q, Q.EMB_TOPK, Q.IVF_NPROBE
+        ).collect()
+    }
+    brute = _brute_pairs(spark)
+    recall = len(brute & got) / len(brute)
+    print(f"\nIVF+Lloyd recall @ nprobe={Q.IVF_NPROBE}/{Q.IVF_K}: {recall:.3f}")
+    assert recall >= 0.3, recall
