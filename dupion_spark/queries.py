@@ -1379,6 +1379,253 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 
 
 # ===========================================================================
+# SimHash text dedup (dedup_simhash_docs / dedup_simhash_pairs) and
+# embedding-cosine near-dup clustering (dedup_embedding)
+# ===========================================================================
+
+# 60-bit word-level SimHash (Charikar 2002): per-token 60-bit hash votes
+# ±1 per bit position weighted by occurrence; sign of the per-bit sum is the
+# signature bit. 60 bits (not 64) so the value stays a positive BIGINT in
+# both engines — no sign-bit wraparound to reconcile.
+DOC_SIMHASH_BITS = 60
+DOC_SIMHASH_BANDS = 4
+DOC_SIMHASH_BAND_BITS = 15          # 4 x 15 == 60
+# pigeonhole: hamming <= bands-1 forces at least one untouched band, so
+# banding catches EVERY pair within this radius (no LSH recall hole)
+DOC_SIMHASH_MAX_HAMMING = DOC_SIMHASH_BANDS - 1
+
+
+def q_dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 60-bit SimHash, fully JVM-side: explode tokens (with
+    multiplicity — classic frequency-weighted SimHash), one md5-based 60-bit
+    hash per token, 60 conditional sums (map-side combinable), sign → bit.
+    Zero-token docs get simhash 0. (doc_id, simhash)."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.explode(_tokens_col()).alias("tok"))
+    )
+    th = toks.withColumn("h", _h60(F.col("tok")))
+    aggs = [
+        F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}")
+        for i in range(DOC_SIMHASH_BITS)
+    ]
+    bits = th.groupBy("doc_id").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for i in range(DOC_SIMHASH_BITS):
+        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return (
+        docs.select("doc_id")
+        .join(bits, "doc_id", "left")
+        .select("doc_id", F.coalesce(sim, F.lit(0)).cast("long").alias("simhash"))
+    )
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup doc pairs by SimHash banding: distinct signatures collapse to
+    a min-doc_id representative FIRST (identical-simhash docs are exact-dup
+    territory, dedup_exact_docs — and at corpus scale boilerplate would
+    otherwise make band buckets quadratic), then 4 x 15-bit band keys bucket
+    the reps and in-bucket pairs keep hamming <= 3. Pigeonhole over 4 bands
+    makes this EXACT within the radius — every rep pair at hamming <= 3 is
+    emitted, no recall hole (property-tested against brute-force all-pairs
+    in tests/test_signatures.py). (id_l, id_r, hamming)."""
+    sim = q_dedup_simhash_docs(spark, sf_dir)
+    reps = (
+        sim.groupBy("simhash").agg(F.min("doc_id").alias("rep"))
+        .localCheckpoint(eager=False)  # consumed by both join sides
+    )
+    keyed = reps.select(
+        "rep",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("simhash", b * DOC_SIMHASH_BAND_BITS)
+                    .bitwiseAND(F.lit((1 << DOC_SIMHASH_BAND_BITS) - 1))
+                    .alias("bk"),
+                )
+                for b in range(DOC_SIMHASH_BANDS)
+            ])
+        ).alias("p"),
+    ).select("rep", "simhash", F.col("p.band").alias("band"), F.col("p.bk").alias("bk"))
+    kl, kr = keyed.alias("l"), keyed.alias("r")
+    hamming = F.bit_count(
+        F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+    ).cast("int")
+    return (
+        kl.join(
+            kr,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bk") == F.col("r.bk"))
+            & (F.col("l.rep") < F.col("r.rep")),
+        )
+        .select(
+            F.col("l.rep").alias("id_l"),
+            F.col("r.rep").alias("id_r"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= DOC_SIMHASH_MAX_HAMMING)
+        .distinct()  # a pair at hamming 0..2 collides in >1 band
+    )
+
+
+def _sql_simhash_ctes() -> str:
+    h60 = H60_SQL.format(x="tok")
+    bsum = ",\n".join(
+        f"    sum(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(DOC_SIMHASH_BITS)
+    )
+    scol = " + ".join(
+        f"(CASE WHEN bits.b{i} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(DOC_SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+), th AS (
+  SELECT doc_id, {h60} AS h FROM toks
+), bits AS (
+  SELECT doc_id,
+{bsum}
+  FROM th GROUP BY doc_id
+), sim AS (
+  SELECT d.doc_id, CAST(coalesce({scol}, 0) AS BIGINT) AS simhash
+  FROM documents d LEFT JOIN bits ON d.doc_id = bits.doc_id
+)"""
+
+
+SQL_DEDUP_SIMHASH = _sql_simhash_ctes() + "\nSELECT doc_id, simhash FROM sim"
+
+SQL_DEDUP_SIMHASH_PAIRS = _sql_simhash_ctes() + f""",
+reps AS (SELECT simhash, min(doc_id) AS rep FROM sim GROUP BY simhash),
+keyed AS (
+  SELECT rep, simhash, band,
+         (simhash >> (band * {DOC_SIMHASH_BAND_BITS})) & {(1 << DOC_SIMHASH_BAND_BITS) - 1} AS bk
+  FROM (SELECT rep, simhash, unnest(range({DOC_SIMHASH_BANDS})) AS band FROM reps)
+)
+SELECT DISTINCT l.rep AS id_l, r.rep AS id_r,
+       CAST(bit_count(xor(CAST(l.simhash AS BIGINT), CAST(r.simhash AS BIGINT))) AS INT) AS hamming
+FROM keyed l JOIN keyed r
+  ON l.band = r.band AND l.bk = r.bk AND l.rep < r.rep
+WHERE bit_count(xor(CAST(l.simhash AS BIGINT), CAST(r.simhash AS BIGINT))) <= {DOC_SIMHASH_MAX_HAMMING}
+"""
+
+
+# embedding-cosine near-dup: sign-LSH multiprobe candidate pairs over the
+# corpus (collide iff bucket hamming <= 2 — probe side emits every <=2-bit
+# flip of its 8-bit bucket, 37 skinny rows per vector), exact-cosine verify,
+# connected components. tau is tuned to the synthetic fixture's cosine range
+# (random 64-dim vectors top out ~0.51; real near-dup embeddings sit >0.95,
+# where the same 8-plane probe scheme catches >99%).
+EMB_DEDUP_TAU = 0.42
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup clusters: (vec_id, cluster_id, cluster_size)
+    for the whole corpus (singletons cluster to themselves). Pipeline shape =
+    the image flagship's: skinny candidate generation (ids + bucket keys
+    only — vectors do NOT ride the 37x probe explode), re-join vectors for
+    the exact-cosine verify, large-star/small-star CC on verified edges."""
+    from dupion_spark.operators.connected_components import (
+        attach_singletons,
+        connected_components,
+    )
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    planes = _emb_hyperplanes()
+    vecs = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    vecs = vecs.select(
+        "vec_id", "v", norm.alias("norm"), _emb_bucket_col(planes).alias("bucket")
+    ).localCheckpoint(eager=False)  # probe side, exact side, 2x verify join
+
+    skinny = vecs.select("vec_id", "bucket")
+    probes = skinny.select(
+        "vec_id",
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in _probe_masks()])
+        ).alias("bucket"),
+    )
+    # each unordered pair matches on exactly ONE mask (= xor of the two
+    # buckets), so the join emits no duplicates
+    cand = (
+        probes.alias("l")
+        .join(skinny.alias("r"), "bucket")
+        .filter(F.col("l.vec_id") < F.col("r.vec_id"))
+        .select(F.col("l.vec_id").alias("id_l"), F.col("r.vec_id").alias("id_r"))
+    )
+    lv = vecs.select(
+        F.col("vec_id").alias("id_l"), F.col("v").alias("lv"), F.col("norm").alias("ln")
+    )
+    rv = vecs.select(
+        F.col("vec_id").alias("id_r"), F.col("v").alias("rv"), F.col("norm").alias("rn")
+    )
+    dot = F.aggregate(
+        F.zip_with("lv", "rv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    edges = (
+        cand.join(lv, "id_l")
+        .join(rv, "id_r")
+        .filter(F.round(dot / (F.col("ln") * F.col("rn")), 6) >= EMB_DEDUP_TAU)
+        .select("id_l", "id_r")
+    )
+    assigned = connected_components(edges).withColumnRenamed("image_id", "vec_id")
+    labels = attach_singletons(
+        assigned.withColumnRenamed("vec_id", "image_id"),
+        vecs.select(F.col("vec_id").alias("image_id")),
+    ).select(F.col("image_id").alias("vec_id"), F.col("cluster_root").alias("cluster_id"))
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "cluster_id").select("vec_id", "cluster_id", "cluster_size")
+
+
+def _sql_dedup_embedding() -> str:
+    planes = _emb_hyperplanes()
+    bits = []
+    for j, row in enumerate(planes):
+        terms = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {float(c)}" for i, c in enumerate(row)
+        )
+        bits.append(f"CASE WHEN ({terms}) >= 0 THEN {1 << j} ELSE 0 END")
+    bucket = " + ".join(bits)
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v,
+         sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS norm,
+         ({bucket}) AS bucket
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id_l, b.vec_id AS id_r
+  FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+  WHERE bit_count(xor(CAST(a.bucket AS BIGINT), CAST(b.bucket AS BIGINT))) <= 2
+    AND round(list_sum([a.v[i] * b.v[i] for i in range(1, {EMB_DIM + 1})])
+              / (a.norm * b.norm), 6) >= {EMB_DEDUP_TAU}
+), edges AS (
+  SELECT id_l AS a, id_r AS b FROM pairs
+  UNION SELECT id_r, id_l FROM pairs
+), reach AS (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT vec_id, vec_id FROM vecs
+    UNION
+    SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a
+  ) SELECT * FROM r
+), lab AS (
+  SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a
+)
+SELECT vec_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM lab
+"""
+
+
+SQL_DEDUP_EMBEDDING = _sql_dedup_embedding()
+
+
+# ===========================================================================
 # registry
 # ===========================================================================
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1401,6 +1648,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": q_dedup_exact_docs,
         "dedup_minhash_docs": q_dedup_minhash_docs,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_simhash_docs": q_dedup_simhash_docs,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_embedding": q_dedup_embedding,
         "ngram_jaccard": q_ngram_jaccard,
         "text_fingerprint": q_text_fingerprint,
         "m1_dedup_plan": q_m1_dedup_plan,
@@ -1439,6 +1689,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": SQL_DEDUP_EXACT,
         "dedup_minhash_docs": SQL_DEDUP_MINHASH,
         "dedup_minhash_pairs": SQL_DEDUP_MINHASH_PAIRS,
+        "dedup_simhash_docs": SQL_DEDUP_SIMHASH,
+        "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
+        "dedup_embedding": SQL_DEDUP_EMBEDDING,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
         "m1_dedup_plan": SQL_M1_DEDUP_PLAN,
