@@ -135,7 +135,19 @@ def _scale_worker(fixture_path: str, cores: int) -> None:
     from dupion_spark.pipeline import run_pipeline
     from dupion_spark.session import get_spark
 
-    spark = get_spark(f"dupion_scale_{cores}", cores=cores, shuffle_partitions=32)
+    # spark.local.dir on tmpfs: on a real cluster, shuffle + localCheckpoint
+    # blocks land on PER-EXECUTOR local disks, so aggregate scratch bandwidth
+    # scales with executor count. Both sandbox legs share ONE physical disk,
+    # which starves the 4N leg of per-core scratch bandwidth in a way no real
+    # cluster would — the mirror image of the unpinned-CPU bias taskset
+    # closes (BENCH/BASELINE.md). RAM-backed scratch gives both legs the
+    # never-the-bottleneck per-node disk a production executor has.
+    scratch = f"/dev/shm/dupion_scale_{cores}"
+    os.makedirs(scratch, exist_ok=True)
+    spark = get_spark(
+        f"dupion_scale_{cores}", cores=cores, shuffle_partitions=32,
+        extra_conf={"spark.local.dir": scratch},
+    )
     images = spark.read.parquet(fixture_path)
     n = images.count()
     # warmup on a small slice: JVM codegen + python-worker spin-up are

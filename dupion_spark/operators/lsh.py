@@ -212,25 +212,29 @@ def candidate_pairs(
     carry recall through the verify gate — a hub edge only survives if the
     member is a near-dup OF THE HUB, so two members near each other but far
     from the hub would lose connectivity (the round-2 latent recall hole).
-    Instead, members of an over-cap pixel bucket are re-bucketed by 8
-    CYCLIC BYTE-PAIR WINDOWS — 16-bit sub-bands over bytes (s, s+1 mod 8) —
-    with 1-bit multiprobe. Every phash bit lies in exactly TWO windows, so a
-    pair at total hamming d has window-diff sum 2d and SOME window with
-    <= floor(2d/8) differing bits: <= 2 at d <= 11 (and at the adaptive
-    plans' 8/5), within the 1-bit symmetric probe radius — every genuine
-    near pair lands in a shared sub-bucket and keeps a DIRECT, verifiable
-    edge. The overlap buys BOTH halves of the round-3 ADVICE trade: 16-bit
-    keys carry 256x the entropy of the old 8x8-bit design (whose sub-buckets
-    saturate once over-cap membership reaches thousands), while keeping 8
-    alternative collision routes (a disjoint 4x16 design has only 4 — one
-    over-cap zero-diff window then drops the pair, which the property test
-    catches). Sub-buckets under the cap run all-pairs; sub-buckets STILL
-    over the cap fall back to hub star links — overwhelmingly phash-near-
-    identical mega-groups where star edges pass verify; a member far from
-    its sub-hub can still lose a direct edge there, the same latent hole one
-    level down made 2^8 rarer per window; documented rather than recursed
-    again. Cost is linear: 136 sub-rows per over-cap member, emitted only
-    for the over-cap slice."""
+    Instead, members of an over-cap pixel bucket are re-bucketed by 4
+    DISJOINT 16-bit windows OFFSET BY 8 BITS from the top-level band slices
+    (window s covers bits [16s+8, 16s+23] mod 64), with 1-bit multiprobe.
+    Disjoint pigeonhole: a pair at hamming d <= 11 has SOME window with
+    <= floor(11/4) = 2 differing bits (also <= 2 at the adaptive plans'
+    8/5), within the 1-bit symmetric probe radius — every genuine near pair
+    lands in a shared sub-bucket and keeps a DIRECT, verifiable edge
+    (property-tested in tests/test_lsh.py). The 8-bit offset makes every
+    sub window straddle TWO top-level bands, so the members of an over-cap
+    top-level bucket (constant in ONE aligned window) split up to 256 ways
+    in every sub window — an aligned 4x16 layout would re-create the
+    over-cap crowd verbatim. 16-bit keys carry 256x the entropy of the
+    round-3 8-bit sub keys (the saturation ADVICE item); an earlier 8-window
+    cyclic byte-pair variant had the same guarantee but 136 keys/member —
+    measured at 300k, its sub table approached the size of the TOP-level
+    band table (17.1M vs 26.1M rows) and its self-join dominated the pairs
+    stage, so the 68-key disjoint form wins at identical radius. Sub-buckets
+    under the cap run all-pairs; sub-buckets STILL over the cap fall back to
+    hub star links — overwhelmingly phash-near-identical mega-groups where
+    star edges pass verify; a member far from its sub-hub can still lose a
+    direct edge there (the same latent hole one level down, made 2^16 rarer
+    per window); documented rather than recursed again. Cost is linear: 68
+    sub-rows per over-cap member, emitted only for the over-cap slice."""
     # Guard: when the band table was built on the LONG surrogate sid (see
     # band_table), downstream verify/CC join on STRING image_id — emitting
     # long pairs without an id_map would make every downstream inner join
@@ -326,20 +330,23 @@ def candidate_pairs(
         )
     )
 
-    # pixel over-cap buckets: second-level sub-banding (8 cyclic byte-pair
-    # windows of 16 phash bits, 1-bit multiprobe — see docstring) over the
-    # DISTINCT over-cap member set — global scope, not per parent bucket:
-    # the weighted-pigeonhole guarantee works on the full 64-bit phash
-    # regardless of scope, and per-bucket scoping would make a mega-cluster
-    # member (over-cap in all its probe buckets) emit 136 sub-rows per
-    # bucket instead of 136 total. Shape is NOT in the sub key (band rows
-    # don't carry w/h); cross-shape sub-collisions are junk pairs bounded by
-    # the sub-bucket cap and killed by the hamming prefilter / PSNR gate.
+    # pixel over-cap buckets: second-level sub-banding (4 disjoint 16-bit
+    # windows offset 8 bits from the band slices, 1-bit multiprobe — see
+    # docstring) over the DISTINCT over-cap member set — global scope, not
+    # per parent bucket: the disjoint-pigeonhole guarantee works on the full
+    # 64-bit phash regardless of scope, and per-bucket scoping would make a
+    # mega-cluster member (over-cap in all its probe buckets) emit 68
+    # sub-rows per bucket instead of 68 total. Shape is NOT in the sub key
+    # (band rows don't carry w/h); cross-shape sub-collisions are junk pairs
+    # bounded by the sub-bucket cap and killed by the hamming prefilter /
+    # PSNR gate.
     sub_keys = []
-    for sub in range(8):
-        lo = F.shiftrightunsigned(F.col("phash"), sub * 8).bitwiseAND(F.lit(0xFF))
+    for sub in range(4):
+        lo = F.shiftrightunsigned(F.col("phash"), sub * 16 + 8).bitwiseAND(
+            F.lit(0xFF)
+        )
         hi = F.shiftrightunsigned(
-            F.col("phash"), ((sub + 1) % 8) * 8
+            F.col("phash"), (sub * 16 + 16) % 64
         ).bitwiseAND(F.lit(0xFF))
         val = F.shiftleft(hi, 8).bitwiseOR(lo)
         for probe in [val] + [val.bitwiseXOR(F.lit(1 << bit)) for bit in range(16)]:

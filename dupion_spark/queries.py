@@ -1625,6 +1625,72 @@ FROM lab
 SQL_DEDUP_EMBEDDING = _sql_dedup_embedding()
 
 
+# ---------------------------------------------------------------------------
+# end-to-end text near-dup clustering — the doc-table analog of the image
+# flagship (img_clusters): MinHash LSH candidate pairs -> exact n-gram
+# Jaccard verify -> connected components -> per-doc cluster labels
+# ---------------------------------------------------------------------------
+
+# verify gate: the fixture's pair jaccards are bimodal (LSH junk ~0.06,
+# genuine near-dups >=0.98 at sf0.01); 0.8 is the standard near-dup cut and
+# sits in the empty middle of the distribution, so the edge set is stable
+# against float noise in either engine
+DOC_CLUSTER_TAU = 0.8
+
+
+def q_dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size) for EVERY document — singletons
+    cluster to themselves. Edges are ngram_jaccard pairs at jaccard >=
+    DOC_CLUSTER_TAU; clustering is the same large-star/small-star CC the
+    image flagship uses (no GraphFrames). All corpus-scale pieces inherit
+    their shapes from the audited paths: capped LSH banding (_doc_pairs),
+    checkpointed shared subplans, skinny id-only edge table into CC."""
+    from dupion_spark.operators.connected_components import (
+        attach_singletons,
+        connected_components,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    edges = (
+        q_ngram_jaccard(spark, sf_dir)
+        .filter(F.col("jaccard") >= DOC_CLUSTER_TAU)
+        .select("id_l", "id_r")
+    )
+    assigned = connected_components(edges)
+    labels = attach_singletons(
+        assigned, docs.select(F.col("doc_id").alias("image_id"))
+    ).select(F.col("image_id").alias("doc_id"), F.col("cluster_root").alias("cluster_id"))
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
+
+
+SQL_DEDUP_CLUSTERS_DOCS = (
+    _sql_sig_ctes() + ",\n" + _sql_pairs_ctes() + ",\n"
+        "counts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),\n"
+        "shared AS (SELECT p.id_l, p.id_r, count(*) AS n_inter\n"
+        "           FROM pairs p JOIN shingles sl ON sl.doc_id = p.id_l\n"
+        "                        JOIN shingles sr ON sr.doc_id = p.id_r AND sr.shingle = sl.shingle\n"
+        "           GROUP BY p.id_l, p.id_r),\n"
+        "jacc AS (SELECT s.id_l, s.id_r,\n"
+        "                round(CAST(s.n_inter AS DOUBLE) / (cl.n_sh + cr.n_sh - s.n_inter), 6) AS jaccard\n"
+        "         FROM shared s JOIN counts cl ON cl.doc_id = s.id_l\n"
+        "                       JOIN counts cr ON cr.doc_id = s.id_r),\n"
+        f"edges AS (SELECT id_l AS a, id_r AS b FROM jacc WHERE jaccard >= {DOC_CLUSTER_TAU}\n"
+        f"          UNION SELECT id_r, id_l FROM jacc WHERE jaccard >= {DOC_CLUSTER_TAU}),\n"
+        "reach AS (\n"
+        "  WITH RECURSIVE r(a, b) AS (\n"
+        "    SELECT doc_id, doc_id FROM documents\n"
+        "    UNION\n"
+        "    SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a\n"
+        "  ) SELECT * FROM r\n"
+        "),\n"
+        "lab AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)\n"
+    "SELECT doc_id, cluster_id,\n"
+    "       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size\n"
+    "FROM lab"
+)
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1651,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_docs": q_dedup_simhash_docs,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_clusters_docs": q_dedup_clusters_docs,
         "ngram_jaccard": q_ngram_jaccard,
         "text_fingerprint": q_text_fingerprint,
         "m1_dedup_plan": q_m1_dedup_plan,
@@ -1692,6 +1759,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_docs": SQL_DEDUP_SIMHASH,
         "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
         "dedup_embedding": SQL_DEDUP_EMBEDDING,
+        "dedup_clusters_docs": SQL_DEDUP_CLUSTERS_DOCS,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
         "m1_dedup_plan": SQL_M1_DEDUP_PLAN,

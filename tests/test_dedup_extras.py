@@ -112,3 +112,39 @@ def test_dedup_embedding_nonvacuous_at_sf001(spark):
     multi = [r for r in rows if r["cluster_size"] > 1]
     assert len(rows) == 500
     assert multi, "no multi-member clusters: tau is vacuous for this fixture"
+
+
+# ---------------------------------------------------------------------------
+# end-to-end doc clustering (LSH -> jaccard verify -> CC)
+# ---------------------------------------------------------------------------
+def test_dedup_clusters_docs_verified_edges_only(spark):
+    """Every multi-member cluster must be spanned by jaccard >= tau edges
+    (no unverified LSH candidate leaks into the clustering), and every
+    verified edge's endpoints must land in the same cluster."""
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in Q.q_dedup_clusters_docs(spark, SF_DIR).collect()
+    }
+    edges = [
+        (r["id_l"], r["id_r"])
+        for r in Q.q_ngram_jaccard(spark, SF_DIR).collect()
+        if r["jaccard"] >= Q.DOC_CLUSTER_TAU
+    ]
+    assert edges, "tau is vacuous for this fixture"
+    for a, b in edges:
+        assert labels[a] == labels[b]
+    # union-find over the verified edges reproduces the cluster partition
+    parent = {d: d for d in labels}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {d: find(d) for d in labels}
+    assert labels == want

@@ -5,11 +5,12 @@ Scenario (VERDICT r2 "What's wrong" #2): a genuine near pair (phash hamming
 shared bucket is OVER the all-pairs cap, where neither member is the bucket
 hub and both sit > 12 bits from it. Filtered star links drop both hub edges,
 so the pair lost all connectivity. The fix sub-bands over-cap pixel buckets
-(8 cyclic byte-pair windows: 16-bit sub keys for entropy — the round-3
-ADVICE showed 8-bit sub keys saturating at scale — while keeping 8
-alternative collision routes via overlap), which must emit the DIRECT
-(A, B) candidate pair. Also proves the corpus-ADAPTIVE band plans' hamming
-guarantees (4/3/2 bands -> 11/8/5).
+(4 disjoint 16-bit windows offset 8 bits from the band slices: 16-bit sub
+keys for entropy — the round-3 ADVICE showed 8-bit sub keys saturating at
+scale — and the offset re-splits crowds the aligned top-level bucketing
+concentrated), which must emit the DIRECT (A, B) candidate pair. Also
+proves the corpus-ADAPTIVE band plans' hamming guarantees (4/3/2 bands ->
+11/8/5).
 """
 
 from __future__ import annotations
@@ -120,15 +121,16 @@ def _top_level_buckets(ph: int, w: int = 64, h: int = 64) -> set:
 
 
 def _sub_buckets(ph: int) -> set:
-    """(sub, probe_val) set at 8 cyclic byte-pair windows (16-bit sub keys,
-    1-bit probes) — the second-level cascade for over-cap pixel buckets.
-    Every bit lies in exactly 2 windows, so hamming d => some window with
-    <= floor(2d/8) diffs (= 2 at d <= 11, inside the probe radius)."""
+    """(sub, probe_val) set at 4 disjoint 16-bit windows offset 8 bits from
+    the top-level band slices (window s = bits [16s+8, 16s+23] mod 64),
+    1-bit probes — the second-level cascade for over-cap pixel buckets.
+    Disjoint pigeonhole: hamming d => some window with <= floor(d/4) diffs
+    (= 2 at d <= 11, inside the symmetric 1-bit probe radius)."""
     out = set()
     u = ph & ((1 << 64) - 1)
-    for sub in range(8):
-        lo = (u >> (sub * 8)) & 0xFF
-        hi = (u >> (((sub + 1) % 8) * 8)) & 0xFF
+    for sub in range(4):
+        lo = (u >> (sub * 16 + 8)) & 0xFF
+        hi = (u >> ((sub * 16 + 16) % 64)) & 0xFF
         val = (hi << 8) | lo
         out.add((sub, val))
         for bit in range(16):
