@@ -42,7 +42,10 @@ def _check_equiv(path, column="bytes", positions=None, rg=0):
     if positions is None:
         positions = sorted(random.Random(7).sample(range(n), min(9, n)))
     st = GatherStats()
-    got = read_binary_rows(path, rg, column, positions, st)
+    # cap 1.0: equivalence tests exercise the page path even at densities the
+    # production default would hand to the pyarrow fallback
+    got = read_binary_rows(path, rg, column, positions, st,
+                           max_page_fraction=1.0)
     ref = (
         pf.read_row_group(rg, columns=[column])
         .column(column)
@@ -118,9 +121,26 @@ def test_sparse_gather_savings(tmp_path):
     assert st.bytes_read <= st.bytes_total * 0.25
 
 
+def test_dense_positions_defer_to_fallback(tmp_path):
+    """When candidates cover most pages the selective walk is pure overhead
+    vs pyarrow's C++ whole-chunk read — dense requests must raise Unsupported
+    so the caller's fallback path takes over."""
+    path = _write(
+        tmp_path, _blob_table(), use_dictionary=False, data_page_size=16 * 1024,
+        write_batch_size=32,
+    )
+    with pytest.raises(Unsupported, match="dense"):
+        read_binary_rows(path, 0, "bytes", list(range(0, 400, 2)))
+    # an explicit cap of 1.0 keeps the page path available for equivalence runs
+    got = read_binary_rows(path, 0, "bytes", list(range(0, 400, 2)),
+                           max_page_fraction=1.0)
+    assert len(got) == 200
+
+
 def test_duplicate_and_unsorted_positions(tmp_path):
     path = _write(tmp_path, _blob_table(n=50), use_dictionary=False)
-    got = read_binary_rows(path, 0, "bytes", [9, 3, 9, 0])
+    got = read_binary_rows(path, 0, "bytes", [9, 3, 9, 0],
+                           max_page_fraction=1.0)
     ref = (
         pq.ParquetFile(path).read_row_group(0).column("bytes")
         .take(pa.array([9, 3, 9, 0])).to_pylist()
@@ -162,7 +182,8 @@ def test_random_positions_property(tmp_path):
         rg = rng.randrange(pf.metadata.num_row_groups)
         n = pf.metadata.row_group(rg).num_rows
         positions = [rng.randrange(n) for _ in range(rng.randrange(1, 12))]
-        got = read_binary_rows(path, rg, "bytes", positions)
+        got = read_binary_rows(path, rg, "bytes", positions,
+                               max_page_fraction=1.0)
         ref = (
             pf.read_row_group(rg, columns=["bytes"]).column("bytes")
             .take(pa.array(positions, type=pa.int64())).to_pylist()
