@@ -21,6 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from dupion_spark import image_queries as IQ
+from dupion_spark import media_queries as MQ
 from dupion_spark import queries as Q
 
 
@@ -33,6 +34,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     merged.update(Q.queries())
     merged.update(IQ.image_queries())
+    merged.update(MQ.media_queries())
     return merged
 
 
@@ -40,4 +42,5 @@ def oracle_sql() -> dict[str, str]:
     merged: dict[str, str] = {}
     merged.update(Q.oracle_sql())
     merged.update(IQ.image_oracle_sql())
+    merged.update(MQ.media_oracle_sql())
     return merged

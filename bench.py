@@ -295,6 +295,20 @@ def scaling_run() -> dict:
     return results
 
 
+def run_media_pipeline(spark, sf_dir: str) -> float:
+    """All four media queries (audio features, frame index, video pairs,
+    resize) end-to-end; fixture materialization is excluded (one-time,
+    cached under data/)."""
+    from dupion_spark import media_queries as MQ
+
+    MQ.ensure_oracle_fixture(os.path.basename(sf_dir.rstrip("/")))
+    registry = MQ.media_queries()
+    start = time.time()
+    for name in sorted(registry):
+        _force(registry[name](spark, sf_dir))
+    return time.time() - start
+
+
 def main() -> None:
     if len(sys.argv) >= 4 and sys.argv[1] == "--scale-worker":
         _scale_worker(sys.argv[2], int(sys.argv[3]))
@@ -324,6 +338,7 @@ def main() -> None:
     timings, cold = run_headline(spark, sf_dir)
     img_elapsed, n_images = run_image_pipeline(spark, sf_dir)
     timings["img_pipeline"] = round(img_elapsed, 3)
+    timings["media_pipeline"] = round(run_media_pipeline(spark, sf_dir), 3)
 
     total = round(sum(timings.values()), 3)
     payload = {

@@ -1,0 +1,140 @@
+"""Media-pipeline queries for the driver contract — value-checked vs golden.
+
+Same strategy as image_queries.py: the deterministic media fixture
+(sources/synth_media.py) materializes per scale under data/, and its
+single-process golden tables ARE the expected outputs — so the driver's
+DuckDB oracles value-check audio feature extraction, video frame sampling,
+video near-dup candidates, and image resize instead of rows-only counts.
+The decode work itself is not SQL-expressible; the golden parquet is read
+back verbatim by the oracle.
+
+Scale binding mirrors image_queries: oracle SQL is generated per scale and
+bound to ORACLE_SCALE (overridable via $SPARK_GRAFT_ORACLE_SF);
+oracle_sql_for_scale exposes any scale directly for the parity tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dupion_spark.config import DedupConfig
+from dupion_spark.operators import media as media_ops
+from dupion_spark.sources.synth_media import (
+    FRAME_STRIDE,
+    PAIR_MIN_SHARED,
+    RESIZE_HW,
+    materialize_media,
+)
+
+DATA_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data"
+)
+
+# (n_audio, n_video, n_images) per driver scale factor
+SCALE_MEDIA = {
+    "sf0.001": (48, 24, 30),
+    "sf0.01": (192, 96, 120),
+    "sf0.1": (960, 480, 600),
+}
+
+ORACLE_SCALE = os.environ.get("SPARK_GRAFT_ORACLE_SF", "sf0.01")
+
+
+def _fixture_dir(sf_dir: str) -> str:
+    scale = os.path.basename(sf_dir.rstrip("/")) or "sf0.001"
+    n_audio, n_video, n_images = SCALE_MEDIA.get(scale, SCALE_MEDIA["sf0.001"])
+    out = os.path.join(DATA_ROOT, f"media_{scale}")
+    materialize_media(out, n_audio, n_video, n_images)
+    return out
+
+
+def ensure_oracle_fixture(scale: str | None = None) -> None:
+    scale = scale or ORACLE_SCALE
+    _fixture_dir(scale)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode -> duration/rate/channels/rms/zcr + 64-bit spectral
+    fingerprint; corrupt rows degrade to NULL features (F4)."""
+    fdir = _fixture_dir(sf_dir)
+    audio = spark.read.parquet(os.path.join(fdir, "audio.parquet"))
+    return media_ops.audio_features(audio)
+
+
+def q_media_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video -> sampled-frame signature rows (every FRAME_STRIDE-th frame
+    decoded; unsampled frames skipped at the container level)."""
+    fdir = _fixture_dir(sf_dir)
+    video = spark.read.parquet(os.path.join(fdir, "video.parquet"))
+    return media_ops.sample_frames(video, DedupConfig(), stride=FRAME_STRIDE)
+
+
+def q_media_video_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup candidates: frame-phash groupBy over ALL frames
+    (stride=1), >= PAIR_MIN_SHARED shared distinct hashes per pair."""
+    fdir = _fixture_dir(sf_dir)
+    video = spark.read.parquet(os.path.join(fdir, "video.parquet"))
+    frames = media_ops.sample_frames(video, DedupConfig(), stride=1)
+    return media_ops.video_pair_candidates(frames, min_shared=PAIR_MIN_SHARED)
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode -> 16x16 nearest-neighbor resize -> png re-encode; compare the
+    re-encoded payload by sha256 (undecodable rows are dropped)."""
+    fdir = _fixture_dir(sf_dir)
+    images = spark.read.parquet(os.path.join(fdir, "media_images.parquet"))
+    out_h, out_w = RESIZE_HW
+    resized = media_ops.resize_images(images, out_h, out_w, fmt="png")
+    return resized.select(
+        "image_id", "w", "h", "fmt",
+        F.sha2(F.col("bytes"), 256).alias("payload_sha"),
+    )
+
+
+def media_queries() -> dict:
+    return {
+        "media_audio_features": q_media_audio_features,
+        "media_frame_index": q_media_frame_index,
+        "media_video_pairs": q_media_video_pairs,
+        "media_resize": q_media_resize,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+def oracle_sql_for_scale(scale: str) -> dict[str, str]:
+    fdir = os.path.join(DATA_ROOT, f"media_{scale}")
+
+    def g(name: str) -> str:
+        return os.path.join(fdir, f"{name}.parquet").replace("'", "''")
+
+    return {
+        "media_audio_features": (
+            "SELECT audio_id, duration_s, sample_rate, channels, rms, zcr, "
+            f"fingerprint FROM read_parquet('{g('golden_audio')}')"
+        ),
+        "media_frame_index": (
+            "SELECT video_id, frame_idx, n_frames, phash, simhash "
+            f"FROM read_parquet('{g('golden_frames')}')"
+        ),
+        "media_video_pairs": (
+            "SELECT id_l, id_r, shared_frames "
+            f"FROM read_parquet('{g('golden_video_pairs')}')"
+        ),
+        "media_resize": (
+            "SELECT image_id, w, h, fmt, payload_sha "
+            f"FROM read_parquet('{g('golden_resize')}')"
+        ),
+    }
+
+
+def media_oracle_sql() -> dict[str, str]:
+    ensure_oracle_fixture()
+    return oracle_sql_for_scale(ORACLE_SCALE)
