@@ -5,8 +5,10 @@ a deterministic stand-in codec with the semantics that matter to the dedup
 pipeline — a lossless format ("png") and a lossy format ("jpeg") whose
 re-encode error stays above the PSNR>=40dB allclose gate. The Spark-side
 plumbing (binary columns, Arrow batches, pandas-UDF signatures) is identical to
-what a real decoder would use; `decode_image` transparently dispatches to
-Pillow when the bytes carry real PNG/JPEG magic AND Pillow is importable.
+what a real decoder would use. `decode_image` dispatches real magic as:
+real PNG -> Pillow if importable, else the pure numpy+zlib decoder in
+functions/png.py (so real PNG is first-class in THIS container, not gated);
+real JPEG -> Pillow only (entropy coding is not reasonably stdlib-able).
 
 Formats (all little-endian):
   lossless: b"DPNG" u16 h u16 w u8 c  zlib(raw HxWxC uint8)
@@ -75,8 +77,15 @@ def decode_image(data: bytes) -> np.ndarray:
 
             with PIL.Image.open(io.BytesIO(data)) as img:
                 return np.asarray(img.convert("RGB"), dtype=np.uint8)
+        if data[:8] == b"\x89PNG\r\n\x1a\n":
+            # real PNG decodes WITHOUT Pillow: pure numpy+zlib chunk parser +
+            # scanline unfilter (functions/png.py) — the real-codec branch is
+            # proven in this container, not just Pillow-gated
+            from dupion_spark.functions.png import decode_real_png
+
+            return decode_real_png(data)
         raise NotImplementedError(
-            "real PNG/JPEG bytes need Pillow, which is not installed; "
+            "real JPEG bytes need Pillow, which is not installed; "
             "synthesize inputs with encode_png/encode_jpeg instead"
         )
     raise ValueError(f"unknown image magic: {data[:4]!r}")

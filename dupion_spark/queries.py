@@ -445,10 +445,10 @@ FROM documents
 """
 
 
-def _doc_shingles(docs: DataFrame) -> DataFrame:
-    """doc_id, shingle — distinct character 8-shingles per document (docs
-    shorter than k yield the whole text), JVM-side via sequence+transform."""
-    shingle_arr = F.when(
+def _doc_shingle_arr():
+    """array<string> of distinct character 8-shingles of `text` (docs shorter
+    than k yield [text]), JVM-side via sequence+transform."""
+    return F.when(
         F.length("text") < DOC_SHINGLE_K, F.array(F.col("text"))
     ).otherwise(
         F.array_distinct(
@@ -458,19 +458,45 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
             )
         )
     )
-    return docs.select("doc_id", F.explode(shingle_arr).alias("shingle"))
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """doc_id, shingle — the exploded row form, used only where per-shingle
+    joins are genuinely needed (the jaccard intersection)."""
+    return docs.select("doc_id", F.explode(_doc_shingle_arr()).alias("shingle"))
+
+
+def _minhash_sig(docs: DataFrame) -> DataFrame:
+    """(doc_id, h0..h15) MinHash signatures: explode shingles, one md5-based
+    60-bit hash per shingle row, 16 min-aggregates back to one row per doc.
+
+    Deliberately NOT map-side: three array-based variants were measured at
+    sf0.1 and all lose to this explode+groupBy form, because higher-order
+    functions (transform/aggregate) evaluate INTERPRETED per element while
+    the exploded md5 runs in whole-stage codegen —
+      16x array_min(transform(bases, affine)) w/ inlined bases: 16x the md5;
+      aggregate w/ 16-field struct accumulator: a struct alloc per shingle
+        (2.2x slower than this form);
+      generator-materialized bases + 16 affine array_mins: md5 once but
+        interpreted (1.4x slower than this form).
+    The groupBy shuffle is NOT corpus-scale: partial aggregation collapses
+    each doc's shingles (co-partitioned with the doc by the explode) to one
+    16-column row per doc before the exchange, so the shuffle carries one
+    skinny row per document."""
+    shingles = _doc_shingles(docs).withColumn("base", _h60(F.col("shingle")) % M31)
+    return shingles.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("base") * a + b) % M31).alias(f"h{i}")
+            for i, (a, b) in enumerate(DOC_MINHASH)
+        ]
+    )
 
 
 def q_dedup_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures over text shingles (the caption-MinHash operator on
     the documents table, SQL-checkable): doc_id, h0..h15 signature columns."""
     (docs,) = _tables(spark, sf_dir, "documents")
-    shingles = _doc_shingles(docs).withColumn("base", _h60(F.col("shingle")) % M31)
-    aggs = [
-        F.min((F.col("base") * a + b) % M31).alias(f"h{i}")
-        for i, (a, b) in enumerate(DOC_MINHASH)
-    ]
-    return shingles.groupBy("doc_id").agg(*aggs)
+    return _minhash_sig(docs)
 
 
 def _sql_shingles() -> str:
@@ -547,16 +573,14 @@ def _doc_pairs(sig: DataFrame) -> DataFrame:
 
 
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding + candidate pairs on the doc signatures: band key = md5 of
-    the comma-joined band slice; bucketed self-join per (band, key) with the
+    """LSH banding + candidate pairs on the doc signatures: xxhash64 band key
+    per 4-slot signature slice; bucketed self-join per key with the
     hot-bucket star cap; distinct pairs.
 
-    The signature table is MATERIALIZED (lazy localCheckpoint) before the
-    self-join references it twice — without it Spark re-executes the
-    shingle-explode + min-agg subtree once per reference, the measured
-    scale-killer of the text path."""
-    sig = q_dedup_minhash_docs(spark, sf_dir).localCheckpoint(eager=False)
-    return _doc_pairs(sig)
+    The signature table feeds _doc_pairs exactly once — the band table
+    inside _doc_pairs is the checkpointed multi-consumer anchor, so no
+    extra materialization here."""
+    return _doc_pairs(q_dedup_minhash_docs(spark, sf_dir))
 
 
 def _sql_band_key(band: int) -> str:
@@ -613,23 +637,29 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard for LSH candidate pairs: |A∩B| / |A∪B| over the
     distinct shingle sets, rounded to 6 decimals.
 
-    Shared subplans are MATERIALIZED once: the shingle table feeds the
-    signature chain AND both sides of the intersection join, and the pair
-    table is referenced per side — lazy localCheckpoints stop Spark from
-    re-executing the explode/min-agg subtree 3x (the round-1 plan audit's
-    top text-path scale-killer)."""
+    All per-shingle work after pair generation is CANDIDATE-PROPORTIONAL:
+    the corpus shingle table is never materialized — only docs that appear
+    in a candidate pair are semi-joined back to the scan and exploded for
+    the intersection join (pair members are orders of magnitude fewer than
+    the corpus; an earlier layout shuffled the full corpus-scale shingle
+    table through two joins). Set sizes |A| come map-side from
+    size(shingle_arr) — no groupBy. The pair table is checkpointed once for
+    its three consumers (two member projections + the intersection join)."""
     (docs,) = _tables(spark, sf_dir, "documents")
-    sh = _doc_shingles(docs).localCheckpoint(eager=False)
-    sig = (
-        sh.withColumn("base", _h60(F.col("shingle")) % M31)
-        .groupBy("doc_id")
-        .agg(*[
-            F.min((F.col("base") * a + b) % M31).alias(f"h{i}")
-            for i, (a, b) in enumerate(DOC_MINHASH)
-        ])
+    sig = _minhash_sig(docs)
+    pairs = _doc_pairs(sig).localCheckpoint(eager=False)
+    member_ids = (
+        pairs.select(F.col("id_l").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_r").alias("doc_id")))
+        .distinct()
     )
-    pairs = _doc_pairs(sig.localCheckpoint(eager=False)).localCheckpoint(eager=False)
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    members = (
+        docs.join(member_ids, "doc_id", "left_semi")
+        .select("doc_id", _doc_shingle_arr().alias("sh_arr"))
+        .localCheckpoint(eager=False)  # consumers: counts + both explode sides
+    )
+    counts = members.select("doc_id", F.size("sh_arr").alias("n_sh"))
+    sh = members.select("doc_id", F.explode("sh_arr").alias("shingle"))
     sh_l = sh.select(F.col("doc_id").alias("id_l"), "shingle")
     sh_r = sh.select(F.col("doc_id").alias("id_r"), "shingle")
     shared = (
@@ -771,10 +801,12 @@ FROM scored
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: min 60-bit hash over its shingles (rolling-hash
-    style content fingerprint; equal texts -> equal fingerprints)."""
+    style content fingerprint; equal texts -> equal fingerprints). Map-side
+    array_min over the shingle array — same value as the explode+groupBy
+    form with zero shuffle."""
     (docs,) = _tables(spark, sf_dir, "documents")
-    sh = _doc_shingles(docs)
-    return sh.groupBy("doc_id").agg(F.min(_h60(F.col("shingle"))).alias("fingerprint"))
+    fp = F.array_min(F.transform(_doc_shingle_arr(), lambda s: _h60(s)))
+    return docs.select("doc_id", fp.alias("fingerprint"))
 
 
 SQL_TEXT_FINGERPRINT = (

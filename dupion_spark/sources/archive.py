@@ -42,9 +42,17 @@ from pyspark.sql import types as T
 from dupion_spark.config import DedupConfig
 
 # the reference scans zip/tar/7z/tar.gz/tar.xz (dupion/src/opts/mod.rs:52-62);
-# stdlib covers all but 7z (py7zr is not in this container — a 7z payload is
-# detected and classified but its members are not exploded)
-ARCHIVE_FMTS = ("zip", "tar", "tgz", "txz")
+# stdlib covers all but 7z — when py7zr is importable 7z joins the explode
+# set; without it a 7z payload is detected and classified but its members
+# are not exploded (F4: the row keeps its file nature / byte hash)
+try:  # pragma: no cover - py7zr is not in this container
+    import py7zr  # type: ignore
+
+    _HAVE_7Z = True
+except Exception:
+    _HAVE_7Z = False
+
+ARCHIVE_FMTS = ("zip", "tar", "tgz", "txz") + (("7z",) if _HAVE_7Z else ())
 _FIXED_ZIP_TIME = (1980, 1, 1, 0, 0, 0)
 
 CHILD_SCHEMA = T.StructType(
@@ -113,7 +121,7 @@ def _member_fmt(data: bytes) -> str:
     if data[:6] == b"\xfd7zXZ\x00":
         return "txz"
     if data[:6] == b"7z\xbc\xaf\x27\x1c":
-        return "7z"  # recognized but not exploded (no 7z codec in stdlib)
+        return "7z"  # exploded iff py7zr is importable (see ARCHIVE_FMTS)
     if data[:4] == codec.MAGIC_LOSSLESS:
         return "png"
     if data[:4] == codec.MAGIC_LOSSY:
@@ -122,10 +130,16 @@ def _member_fmt(data: bytes) -> str:
 
 
 def _iter_members(blob: bytes) -> list[tuple[str, bytes]]:
-    """(name, data) entries of a zip or (possibly compressed) tar container."""
+    """(name, data) entries of a zip / (possibly compressed) tar / 7z
+    container."""
     if blob[:4] == b"PK\x03\x04":
         with zipfile.ZipFile(io.BytesIO(blob)) as zf:
             return [(n, zf.read(n)) for n in zf.namelist()]
+    if blob[:6] == b"7z\xbc\xaf\x27\x1c":  # pragma: no cover - needs py7zr
+        if not _HAVE_7Z:
+            raise tarfile.TarError("7z container needs py7zr (not installed)")
+        with py7zr.SevenZipFile(io.BytesIO(blob)) as zf:
+            return [(n, bio.read()) for n, bio in (zf.readall() or {}).items()]
     # tarfile r:* auto-detects plain/gz/xz/bz2 framing
     with tarfile.open(fileobj=io.BytesIO(blob), mode="r:*") as tf:
         out = []

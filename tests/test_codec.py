@@ -49,27 +49,163 @@ def test_psnr_shape_mismatch_never_similar():
 
 
 # --- real-codec branch (VERDICT r2 next-round #4b) --------------------------
-# The container ships no Pillow, so the real PNG/JPEG decode path is gated:
-# without Pillow real magic must raise NotImplementedError (covered here);
-# with Pillow installed the roundtrip tests below run and prove the prod swap.
+# Real PNG decodes WITHOUT Pillow via the pure numpy+zlib decoder
+# (functions/png.py) — the real-codec branch is proven in this container.
+# Real JPEG stays Pillow-gated (skipped tests below prove the prod swap).
 import dupion_spark.functions.codec as codec_mod
+from dupion_spark.functions.png import decode_real_png, encode_real_png
 
-REAL_PNG_MAGIC = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+TRUNCATED_REAL_PNG = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+REAL_JPEG_MAGIC = b"\xff\xd8\xff" + b"\x00" * 16
 
 
-def test_real_png_magic_without_pillow_raises():
+def test_truncated_real_png_raises():
+    with pytest.raises(ValueError):
+        decode_image(TRUNCATED_REAL_PNG)
+
+
+def test_real_jpeg_without_pillow_raises():
     if codec_mod._HAVE_PIL:
         pytest.skip("Pillow present; the guard branch is unreachable")
     with pytest.raises(NotImplementedError):
-        decode_image(REAL_PNG_MAGIC)
+        decode_image(REAL_JPEG_MAGIC)
 
 
 def test_real_magic_degrades_to_none_via_try_decode():
     from dupion_spark.functions.codec import try_decode_image
 
-    if codec_mod._HAVE_PIL:
-        pytest.skip("Pillow present; undecodable-guard branch unreachable")
-    assert try_decode_image(REAL_PNG_MAGIC) is None  # F4: byte-hash-only row
+    assert try_decode_image(TRUNCATED_REAL_PNG) is None  # F4: byte-hash-only
+    if not codec_mod._HAVE_PIL:
+        assert try_decode_image(REAL_JPEG_MAGIC) is None
+
+
+def test_real_png_roundtrip_no_pillow_needed():
+    # encode a spec-compliant PNG, decode it through the dispatch: real PNG
+    # bytes are first-class in this container, not a stub
+    pixels = _pixels(7)
+    data = encode_real_png(pixels)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    assert np.array_equal(decode_image(data), pixels)
+
+
+def _filter_scanlines(pixels: np.ndarray, ftype: int) -> bytes:
+    """Forward-apply one PNG filter to every scanline (test reference impl)."""
+    h, w, c = pixels.shape
+    bpp = c
+    flat = pixels.reshape(h, w * bpp).astype(np.int32)
+    out = bytearray()
+    prior = np.zeros(w * bpp, dtype=np.int32)
+    for y in range(h):
+        row = flat[y]
+        out.append(ftype)
+        for x in range(w * bpp):
+            left = int(row[x - bpp]) if x >= bpp else 0
+            up = int(prior[x])
+            ul = int(prior[x - bpp]) if x >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) >> 1
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+            out.append((int(row[x]) - pred) & 0xFF)
+        prior = row
+    return bytes(out)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_real_png_every_filter_type_unfilters(ftype):
+    import struct
+    import zlib
+
+    pixels = _pixels(ftype + 10, (9, 7, 3))
+    h, w, _ = pixels.shape
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(_filter_scanlines(pixels, ftype)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_real_png(data), pixels)
+
+
+def test_real_png_gray_palette_alpha_color_types():
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    def png(ctype, body_rows, w, h, plte=b""):
+        raw = b"".join(b"\x00" + r for r in body_rows)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        )
+        if plte:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    # gray (0): value replicated to RGB
+    g = png(0, [bytes([10, 20]), bytes([30, 40])], 2, 2)
+    assert np.array_equal(
+        decode_real_png(g),
+        np.array([[[10] * 3, [20] * 3], [[30] * 3, [40] * 3]], dtype=np.uint8),
+    )
+    # gray+alpha (4): alpha dropped
+    ga = png(4, [bytes([10, 255, 20, 0])], 2, 1)
+    assert np.array_equal(
+        decode_real_png(ga), np.array([[[10] * 3, [20] * 3]], dtype=np.uint8)
+    )
+    # RGBA (6): alpha dropped
+    rgba = png(6, [bytes([1, 2, 3, 99, 4, 5, 6, 0])], 2, 1)
+    assert np.array_equal(
+        decode_real_png(rgba), np.array([[[1, 2, 3], [4, 5, 6]]], dtype=np.uint8)
+    )
+    # palette (3): PLTE lookup
+    pal = png(3, [bytes([0, 1])], 2, 1, plte=bytes([9, 8, 7, 6, 5, 4]))
+    assert np.array_equal(
+        decode_real_png(pal), np.array([[[9, 8, 7], [6, 5, 4]]], dtype=np.uint8)
+    )
+
+
+def test_real_png_unsupported_shapes_raise():
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    def hdr(depth=8, ctype=2, interlace=0):
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, depth, ctype, 0, 0, interlace))
+            + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00"))
+            + chunk(b"IEND", b"")
+        )
+
+    with pytest.raises(NotImplementedError):
+        decode_real_png(hdr(depth=16))
+    with pytest.raises(NotImplementedError):
+        decode_real_png(hdr(interlace=1))
 
 
 @pytest.mark.skipif(not codec_mod._HAVE_PIL, reason="Pillow not installed")
