@@ -317,7 +317,12 @@ def candidate_pairs(
     big = bands.join(hot, "band_key")
 
     # caption over-cap buckets: star links to the hub, hub-hamming filtered
-    # (recall is carried by the pixel bands — see docstring)
+    # (recall is carried by the pixel bands — see docstring). Star links
+    # carry a 'star_*' band_src: direct labels sort lexicographically before
+    # star labels, so after the min-agg below a pair is labeled star_* iff
+    # its ONLY provenance is hub-star links — the exact population exposed
+    # to the documented star-recall caveat, countable for free from the
+    # pair/edge tables (no extra jobs).
     caption_star = (
         big.filter(is_caption)
         .filter(F.col("rep_id") != F.col("_hub"))
@@ -326,7 +331,7 @@ def candidate_pairs(
         .select(
             F.col("_hub").alias("id_l"),
             F.col("rep_id").alias("id_r"),
-            F.lit("minhash").alias("band_src"),
+            F.lit("star_minhash").alias("band_src"),
         )
     )
 
@@ -403,7 +408,7 @@ def candidate_pairs(
         .select(
             F.col("_shub").alias("id_l"),
             F.col("rep_id").alias("id_r"),
-            F.lit("pixel").alias("band_src"),
+            F.lit("star_pixel").alias("band_src"),
         )
     )
 

@@ -215,6 +215,15 @@ def run_pipeline(
         lambda: lsh.candidate_pairs(bands, cfg, id_map=sigs.select("sid", "rep_id")),
         ["bands"],
     )
+    # star-recall exposure metric: pairs whose ONLY provenance is hub-star
+    # links (band_src 'star_*', operators/lsh) are the population exposed to
+    # the documented over-cap star caveat — surfaced per run so saturation
+    # degradation is visible instead of latent. One cheap count on the
+    # already-materialized pair anchor.
+    mgr.extra_lineage.append((
+        "pairs", "star_only_pairs",
+        pairs.filter(F.col("band_src").startswith("star_")).count(),
+    ))
 
     def _verify() -> DataFrame:
         # incremental verdict reuse: a prior run's (id_l, id_r) verdict is
