@@ -96,34 +96,69 @@ def make_pixel_signature_udf(cfg: DedupConfig):
     return pixel_signature
 
 
-LCS_MAX_CHARS = 4096
+# CPU bound per comparison, not a memory bound: the suffix automaton below is
+# O(n+m) time and memory, so the cap only limits worst-case per-pair CPU
+# (an earlier sorted-suffixes version was O(n^2) MEMORY and capped at 4096).
+LCS_MAX_CHARS = 65536
 
 
 def _lcs_length(a: str, b: str) -> int:
-    """Longest common substring length via sorted suffixes + LCP of adjacent
-    suffixes from different strings.
+    """Longest common substring length via a suffix automaton of `a` walked
+    with `b` — the suffix-structure method (north_rule: "suffix-array
+    substring"), O(len(a)) states and O(len(a)+len(b)) total work.
 
-    The implementation materializes the suffixes as Python strings, which is
-    O(n^2) memory in the input length — fine for captions, catastrophic for
-    arbitrary documents — so inputs are truncated to LCS_MAX_CHARS first
-    (a single 100 KB caption pair would otherwise allocate ~10 GB per
-    comparison in an executor). Within the cap the sort does
-    O((n+m) log(n+m)) suffix comparisons."""
+    Exact (not approximate): for inputs within LCS_MAX_CHARS the value equals
+    the brute-force longest common substring, property-tested against the
+    O(n*m) DP in tests/test_signatures.py."""
     if not a or not b:
         return 0
     a, b = a[:LCS_MAX_CHARS], b[:LCS_MAX_CHARS]
-    suffixes = [(a[i:], 0) for i in range(len(a))] + [(b[j:], 1) for j in range(len(b))]
-    suffixes.sort(key=lambda t: t[0])
-    best = 0
-    for (s1, src1), (s2, src2) in zip(suffixes, suffixes[1:]):
-        if src1 == src2:
-            continue
-        limit = min(len(s1), len(s2))
-        k = 0
-        while k < limit and s1[k] == s2[k]:
-            k += 1
-        if k > best:
-            best = k
+    if len(b) < len(a):  # build the automaton on the shorter string
+        a, b = b, a
+    # suffix automaton of `a` (Blumer et al.; the standard online build)
+    sa_len = [0]
+    sa_link = [-1]
+    sa_next: list[dict[str, int]] = [{}]
+    last = 0
+    for ch in a:
+        cur = len(sa_len)
+        sa_len.append(sa_len[last] + 1)
+        sa_link.append(-1)
+        sa_next.append({})
+        p = last
+        while p != -1 and ch not in sa_next[p]:
+            sa_next[p][ch] = cur
+            p = sa_link[p]
+        if p == -1:
+            sa_link[cur] = 0
+        else:
+            q = sa_next[p][ch]
+            if sa_len[p] + 1 == sa_len[q]:
+                sa_link[cur] = q
+            else:
+                clone = len(sa_len)
+                sa_len.append(sa_len[p] + 1)
+                sa_link.append(sa_link[q])
+                sa_next.append(dict(sa_next[q]))
+                while p != -1 and sa_next[p].get(ch) == q:
+                    sa_next[p][ch] = clone
+                    p = sa_link[p]
+                sa_link[q] = clone
+                sa_link[cur] = clone
+        last = cur
+    # walk `b` through the automaton, tracking the longest current match
+    v = best = cur_len = 0
+    for ch in b:
+        while v and ch not in sa_next[v]:
+            v = sa_link[v]
+            cur_len = sa_len[v]
+        if ch in sa_next[v]:
+            v = sa_next[v][ch]
+            cur_len += 1
+            if cur_len > best:
+                best = cur_len
+        else:
+            v = cur_len = 0
     return best
 
 

@@ -102,3 +102,45 @@ def test_hash64_bands_pigeonhole():
     bands_b = hash64_bands(flipped, CFG.phash_bands)
     shared = sum(1 for x, y in zip(bands_a, bands_b) if x == y)
     assert shared >= CFG.phash_bands - 2  # d bits can spoil at most d bands
+
+
+# --- suffix-automaton LCS (north_rule: suffix-structure substring check) -----
+
+def _lcs_dp(a: str, b: str) -> int:
+    """O(n*m) reference: classic DP longest common substring."""
+    best = 0
+    prev = [0] * (len(b) + 1)
+    for i in range(1, len(a) + 1):
+        cur = [0] * (len(b) + 1)
+        for j in range(1, len(b) + 1):
+            if a[i - 1] == b[j - 1]:
+                cur[j] = prev[j - 1] + 1
+                if cur[j] > best:
+                    best = cur[j]
+        prev = cur
+    return best
+
+
+def test_lcs_matches_dp_reference():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dupion_spark.functions.spark_udfs import _lcs_length
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet="abcd ", max_size=40), st.text(alphabet="abcd ", max_size=40))
+    def check(a, b):
+        assert _lcs_length(a, b) == _lcs_dp(a, b)
+
+    check()
+
+
+def test_lcs_known_values():
+    from dupion_spark.functions.spark_udfs import _lcs_length
+
+    assert _lcs_length("", "anything") == 0
+    assert _lcs_length("abcdef", "zabcy") == 3        # "abc"
+    assert _lcs_length("same caption", "same caption") == len("same caption")
+    assert _lcs_length("xyz", "abc") == 0
+    # asymmetric lengths exercise the build-on-shorter swap
+    assert _lcs_length("needle", "hay needle hay" * 50) == len("needle")
