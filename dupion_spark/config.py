@@ -129,6 +129,24 @@ class DedupConfig:
             return 3
         return 2
 
+    def pixel_prefilter(self, n_reps: int | None) -> int:
+        """Effective phash-hamming prefilter radius for a corpus of n_reps.
+
+        Aligned with the ACTIVE band plan's catch guarantee (3*bands - 1,
+        +1 recall margin = 3*bands): when the adaptive plan narrows the
+        guaranteed catch radius (11 -> 8 -> 5), a prefilter still sitting at
+        the 4-band radius admits band-collision pairs the plan no longer
+        guarantees to generate — pure un-guaranteed luck, and measured to be
+        ~91% of all verify work at 600k on the scaling fixture (65,855 of
+        72,258 pixel candidates at phash hamming 9-12, every one rejected by
+        PSNR). The density of such near-threshold pairs grows quadratically
+        with the corpus, so at 10^12 rows an unaligned prefilter re-creates
+        the exact superlinear verify blow-up adaptive banding exists to
+        prevent. <= 0 keeps the configured escape hatch (prefilter disabled)."""
+        if self.prefilter_hamming <= 0:
+            return self.prefilter_hamming
+        return min(self.prefilter_hamming, 3 * self.pixel_band_plan(n_reps))
+
     def minhash_params(self) -> list[tuple[int, int]]:
         """(a_i, b_i) pairs for h_i(x) = (a_i * x + b_i) mod (2^31-1).
 

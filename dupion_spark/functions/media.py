@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import io
 import struct
+import wave
 import zlib
 
 import numpy as np
@@ -61,8 +62,6 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
         pcm = np.frombuffer(zlib.decompress(data[13:]), dtype=np.int16)
         return pcm.reshape(n, ch), rate
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
-        import wave
-
         with wave.open(io.BytesIO(data), "rb") as wf:
             if wf.getsampwidth() != 2:
                 raise NotImplementedError(
@@ -86,7 +85,10 @@ def try_decode_audio(data: bytes) -> tuple[np.ndarray, int] | None:
     """decode_audio, but None for undecodable payloads (F4 validity)."""
     try:
         return decode_audio(data)
-    except (ValueError, NotImplementedError, zlib.error, struct.error, EOFError):
+    except (ValueError, NotImplementedError, zlib.error, struct.error,
+            EOFError, wave.Error):
+        # wave.Error: RIFF/WAVE magic with a malformed chunk body — the
+        # stdlib raises its own type, not ValueError
         return None
 
 

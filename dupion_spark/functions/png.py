@@ -154,4 +154,10 @@ def decode_real_png(data: bytes) -> np.ndarray:
     # ctype == 3: palette lookup
     if plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
-    return plte[px[:, :, 0]]
+    idx = px[:, :, 0]
+    if int(idx.max(initial=0)) >= plte.shape[0]:
+        # malformed file: a pixel indexes past the palette. Raise the
+        # ValueError the try_decode_image F4 wrapper catches, not a bare
+        # IndexError that would escape it and kill the task
+        raise ValueError("PNG palette index out of range")
+    return plte[idx]

@@ -24,6 +24,7 @@ from dupion_spark.config import DedupConfig
 from dupion_spark.operators import media as media_ops
 from dupion_spark.sources.synth_media import (
     FRAME_STRIDE,
+    PAIR_MAX_VIDEOS_PER_HASH,
     PAIR_MIN_SHARED,
     RESIZE_HW,
     materialize_media,
@@ -81,7 +82,11 @@ def q_media_video_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fdir = _fixture_dir(sf_dir)
     video = spark.read.parquet(os.path.join(fdir, "video.parquet"))
     frames = media_ops.sample_frames(video, DedupConfig(), stride=1)
-    return media_ops.video_pair_candidates(frames, min_shared=PAIR_MIN_SHARED)
+    return media_ops.video_pair_candidates(
+        frames,
+        min_shared=PAIR_MIN_SHARED,
+        max_videos_per_hash=PAIR_MAX_VIDEOS_PER_HASH,
+    )
 
 
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:

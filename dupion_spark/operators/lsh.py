@@ -163,24 +163,28 @@ def band_table(
     )
 
 
-def _hamming_ok(ph_l, sh_l, ph_r, sh_r, cfg: DedupConfig):
+def _hamming_ok(ph_l, sh_l, ph_r, sh_r, cfg: DedupConfig,
+                ph_limit: int | None = None):
     """Per-source prefilter predicate (see DedupConfig): phash within the
     multiprobe guarantee band OR simhash within the pigeonhole band.
 
-    prefilter_hamming <= 0 DISABLES the prefilter entirely (every band
-    collision goes to verify) — the escape hatch for auditing prefilter
-    recall against raw LSH output."""
-    if cfg.prefilter_hamming <= 0:
+    ph_limit: effective phash radius (cfg.pixel_prefilter for the active
+    band plan); defaults to the configured static radius. <= 0 DISABLES
+    the prefilter entirely (every band collision goes to verify) — the
+    escape hatch for auditing prefilter recall against raw LSH output."""
+    limit = cfg.prefilter_hamming if ph_limit is None else ph_limit
+    if limit <= 0:
         return F.lit(True)
     ph_ham = F.bit_count(ph_l.bitwiseXOR(ph_r))
     sh_ham = F.bit_count(sh_l.bitwiseXOR(sh_r))
-    return (ph_ham <= cfg.prefilter_hamming) | (
+    return (ph_ham <= limit) | (
         sh_ham <= cfg.simhash_prefilter_hamming
     )
 
 
 def candidate_pairs(
-    bands: DataFrame, cfg: DedupConfig, id_map: DataFrame | None = None
+    bands: DataFrame, cfg: DedupConfig, id_map: DataFrame | None = None,
+    n_reps: int | None = None,
 ) -> DataFrame:
     """(id_l, id_r, band_src) candidate pairs, id_l < id_r, hamming-
     prefiltered INLINE and deduped.
@@ -189,6 +193,12 @@ def candidate_pairs(
     pass the mapping so the OUTPUT pairs carry string ids again — the two
     join-backs touch only the pair table (candidate-proportional, tiny),
     never the band table.
+
+    n_reps: the same corpus-size hint band_table received — the phash
+    prefilter radius follows the ACTIVE band plan's catch guarantee
+    (cfg.pixel_prefilter; 12 -> 9 -> 6 as the plan narrows 4 -> 3 -> 2
+    bands). Passing a different hint than band_table's desynchronizes
+    prefilter and guarantee; the pipeline passes one value to both.
 
     The raw pair stream (a pair per shared bucket — ~100M rows at 300k
     images) never hits a shuffle: the hamming test runs inside the bucket
@@ -250,6 +260,9 @@ def candidate_pairs(
             "string image_ids downstream. Pass id_map=signatures.select('sid','rep_id')."
         )
 
+    # phash prefilter radius aligned to the active band plan (see docstring)
+    ph_limit = cfg.pixel_prefilter(n_reps)
+
     # per-source cap via the key's caption bit: caption buckets get a tighter
     # all-pairs window than pixel buckets (see DedupConfig.max_band_bucket)
     is_caption = F.col("band_key").bitwiseAND(F.lit(CAPTION_BIT)) != 0
@@ -303,7 +316,8 @@ def candidate_pairs(
         sl.hint("SHUFFLE_HASH").join(sr, F.col("l.band_key") == F.col("r.band_key"))
         .filter(F.col("l.rep_id") < F.col("r.rep_id"))
         .filter(_hamming_ok(F.col("l.phash"), F.col("l.simhash"),
-                            F.col("r.phash"), F.col("r.simhash"), cfg))
+                            F.col("r.phash"), F.col("r.simhash"), cfg,
+                            ph_limit=ph_limit))
         .select(
             F.col("l.rep_id").alias("id_l"),
             F.col("r.rep_id").alias("id_r"),
@@ -327,7 +341,8 @@ def candidate_pairs(
         big.filter(is_caption)
         .filter(F.col("rep_id") != F.col("_hub"))
         .filter(_hamming_ok(F.col("_hub_ph"), F.col("_hub_sh"),
-                            F.col("phash"), F.col("simhash"), cfg))
+                            F.col("phash"), F.col("simhash"), cfg,
+                            ph_limit=ph_limit))
         .select(
             F.col("_hub").alias("id_l"),
             F.col("rep_id").alias("id_r"),
@@ -388,7 +403,8 @@ def candidate_pairs(
         ssl.hint("SHUFFLE_HASH").join(ssr, F.col("sl.sub_key") == F.col("sr.sub_key"))
         .filter(F.col("sl.rep_id") < F.col("sr.rep_id"))
         .filter(_hamming_ok(F.col("sl.phash"), F.col("sl.simhash"),
-                            F.col("sr.phash"), F.col("sr.simhash"), cfg))
+                            F.col("sr.phash"), F.col("sr.simhash"), cfg,
+                            ph_limit=ph_limit))
         .select(
             F.col("sl.rep_id").alias("id_l"),
             F.col("sr.rep_id").alias("id_r"),
@@ -404,7 +420,8 @@ def candidate_pairs(
         sub.join(sub_hot, "sub_key")
         .filter(F.col("rep_id") != F.col("_shub"))
         .filter(_hamming_ok(F.col("_shub_ph"), F.col("_shub_sh"),
-                            F.col("phash"), F.col("simhash"), cfg))
+                            F.col("phash"), F.col("simhash"), cfg,
+                            ph_limit=ph_limit))
         .select(
             F.col("_shub").alias("id_l"),
             F.col("rep_id").alias("id_r"),

@@ -21,6 +21,7 @@ operators/lsh.py banding unchanged).
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -118,27 +119,33 @@ def sample_frames(
             for vid, blob in zip(batch[id_col], batch[bytes_col]):
                 data = bytes(blob)
                 n = media.try_video_frame_count(data)
-                if n is None:
-                    out["video_id"].append(vid)
-                    out["frame_idx"].append(-1)
-                    out["n_frames"].append(None)
-                    out["phash"].append(None)
-                    out["simhash"].append(None)
-                    continue
-                for idx, start, end in media.iter_frame_spans(data):
-                    if idx % stride:
-                        continue  # skipped without decompression
-                    pixels = codec.try_decode_image(data[start:end])
-                    sh, ph = (
-                        (None, None)
-                        if pixels is None
-                        else signatures.pixel_signatures(pixels, cfg)
-                    )
+                rows: list[tuple] = []
+                if n is not None:
+                    try:
+                        for idx, start, end in media.iter_frame_spans(data):
+                            if idx % stride:
+                                continue  # skipped without decompression
+                            pixels = codec.try_decode_image(data[start:end])
+                            sh, ph = (
+                                (None, None)
+                                if pixels is None
+                                else signatures.pixel_signatures(pixels, cfg)
+                            )
+                            rows.append((idx, n, ph, sh))
+                    except (struct.error, ValueError, IndexError):
+                        # valid magic but truncated/lying length prefixes:
+                        # the container is corrupt even if a prefix of its
+                        # frames parsed — degrade the WHOLE video (F4), same
+                        # as a bad-magic row
+                        rows = []
+                if not rows:
+                    rows = [(-1, None, None, None)]
+                for idx, nf, ph, sh in rows:
                     out["video_id"].append(vid)
                     out["frame_idx"].append(idx)
-                    out["n_frames"].append(n)
-                    out["simhash"].append(sh)
+                    out["n_frames"].append(nf)
                     out["phash"].append(ph)
+                    out["simhash"].append(sh)
             yield pd.DataFrame(out)
 
     return df.select(
@@ -146,19 +153,31 @@ def sample_frames(
     ).mapInPandas(_frames, _FRAME_SCHEMA)
 
 
-def video_pair_candidates(frames: DataFrame, min_shared: int = 2) -> DataFrame:
+def video_pair_candidates(
+    frames: DataFrame, min_shared: int = 2, max_videos_per_hash: int = 64
+) -> DataFrame:
     """Candidate near-dup video pairs from sampled-frame phash overlap.
 
     Two videos are candidates when >= min_shared sampled frames share an
-    exact phash. GroupBy-phash keeps this linear in frame rows (no all-pairs
+    exact phash. GroupBy-phash keeps the frame side linear (no all-pairs
     across videos); the downstream verifier re-checks candidates frame-by-
     frame. Frames whose phash is unique corpus-wide never shuffle into the
-    pair join (left_semi prefilter)."""
+    pair join (left_semi prefilter).
+
+    max_videos_per_hash is the document-frequency cutoff that bounds the
+    per-hash self-join: a frame hash shared by more than this many videos
+    (black frames, intro cards — the norm in real corpora) would emit a
+    quadratic pair blowup while carrying no discriminative signal, exactly
+    the hot-bucket pattern operators/lsh.candidate_pairs caps. Such hashes
+    are dropped (standard df-cutoff); a genuine near-dup pair still needs
+    only min_shared of its OTHER shared frames to surface."""
     f = frames.filter(F.col("phash").isNotNull())
     dup_hashes = (
         f.groupBy("phash")
         .agg(F.count_distinct("video_id").alias("_nv"))
-        .filter(F.col("_nv") >= 2)
+        .filter(
+            (F.col("_nv") >= 2) & (F.col("_nv") <= max_videos_per_hash)
+        )
         .select("phash")
     )
     hot = f.join(dup_hashes, "phash", "left_semi").select("video_id", "phash")

@@ -105,6 +105,16 @@ def run_pipeline(
     # the difference between re-decoding the corpus and decoding the delta.
     incr: dict = {"reused_files": None, "manifest": {}}
 
+    def _files_df(paths) -> DataFrame:
+        """Tiny (src_file) DataFrame for semi-joining row sets by source file.
+        A `Column.isin(<list>)` here would inline up to 10^6 string literals
+        into the plan — driver-side analysis/serialization cost growing with
+        the corpus file count, the exact bottleneck the distributed footer
+        reads avoid. A broadcast semi-join keeps the plan O(1)."""
+        return F.broadcast(
+            spark.createDataFrame([(p,) for p in sorted(paths)], "src_file string")
+        )
+
     def _features() -> DataFrame:
         if not source_path:
             return features_op.features_from_dataframe(images, cfg)
@@ -132,7 +142,7 @@ def run_pipeline(
                     "next_file_idx": next_idx + len(fresh),
                 }
                 incr["reused_files"] = set(unchanged)
-                reused = prior_df.filter(F.col("src_file").isin(unchanged))
+                reused = prior_df.join(_files_df(unchanged), "src_file", "left_semi")
                 if not fresh:
                     return reused
                 new_rows = features_op.extract_features_from_files(
@@ -162,12 +172,12 @@ def run_pipeline(
     if incr["reused_files"] is not None:
         # lineage proof of the incremental rebuild: how many feature rows
         # were reused from the prior checkpoint vs actually re-extracted
-        n_reused = feats.filter(
-            F.col("src_file").isin(list(incr["reused_files"]))
+        n_reused = feats.join(
+            _files_df(incr["reused_files"]), "src_file", "left_semi"
         ).count()
         mgr.extra_lineage.append(("features", "rows_reused", n_reused))
         mgr.extra_lineage.append(
-            ("features", "rows_recomputed", feats.count() - n_reused)
+            ("features", "rows_recomputed", n_images - n_reused)
         )
     hashes = mgr.stage(
         "hashes", lambda: features_op.hashes_from_features(feats), ["features"],
@@ -212,7 +222,9 @@ def run_pipeline(
     # sid; the (sid -> image_id) map restores strings on the pair output.
     pairs = mgr.stage(
         "pairs",
-        lambda: lsh.candidate_pairs(bands, cfg, id_map=sigs.select("sid", "rep_id")),
+        lambda: lsh.candidate_pairs(
+            bands, cfg, id_map=sigs.select("sid", "rep_id"), n_reps=n_images
+        ),
         ["bands"],
     )
     # star-recall exposure metric: pairs whose ONLY provenance is hub-star
@@ -241,8 +253,8 @@ def run_pipeline(
         ):
             prior_edges = mgr.prior_output("verified_edges")
             if prior_edges is not None:
-                stable = feats.filter(
-                    F.col("src_file").isin(list(incr["reused_files"]))
+                stable = feats.join(
+                    _files_df(incr["reused_files"]), "src_file", "left_semi"
                 ).select("image_id")
                 valid = (
                     prior_edges

@@ -1606,9 +1606,8 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.round(dot / (F.col("ln") * F.col("rn")), 6) >= EMB_DEDUP_TAU)
         .select("id_l", "id_r")
     )
-    assigned = connected_components(edges).withColumnRenamed("image_id", "vec_id")
     labels = attach_singletons(
-        assigned.withColumnRenamed("vec_id", "image_id"),
+        connected_components(edges),
         vecs.select(F.col("vec_id").alias("image_id")),
     ).select(F.col("image_id").alias("vec_id"), F.col("cluster_root").alias("cluster_id"))
     sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))

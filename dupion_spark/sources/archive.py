@@ -157,7 +157,9 @@ def _unpack_rows(parent_id: str, blob: bytes, cfg: DedupConfig) -> list[dict]:
     entries = _iter_members(blob)
     names = [n for n, _ in entries if not n.endswith(".caption")]
     captions = {
-        n[: -len(".caption")]: d.decode("utf-8")
+        # errors="replace": a non-UTF-8 caption sidecar must not kill the
+        # task (F4) — valid UTF-8 passes through byte-identical
+        n[: -len(".caption")]: d.decode("utf-8", errors="replace")
         for n, d in entries
         if n.endswith(".caption")
     }
@@ -165,11 +167,16 @@ def _unpack_rows(parent_id: str, blob: bytes, cfg: DedupConfig) -> list[dict]:
     for name in names:
         data = data_by_name[name]
         fmt = _member_fmt(data)
-        if fmt in ("png", "jpeg"):
-            pixels = codec.decode_image(data)
+        pixels = (
+            codec.try_decode_image(data) if fmt in ("png", "jpeg") else None
+        )
+        if pixels is not None:
             h, w = pixels.shape[:2]
             phash = signatures.phash64(pixels, cfg)
-        else:  # nested container (or opaque payload): no pixel props yet
+        else:
+            # nested container, opaque payload, or a member whose image
+            # magic lied (truncated body): keep the row with no pixel props
+            # (F4 degrade) — its byte hash still joins exact groups upstream
             h = w = 0
             phash = 0
         rows.append(

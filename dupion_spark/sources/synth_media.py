@@ -36,12 +36,13 @@ import pandas as pd
 from dupion_spark.config import DedupConfig
 from dupion_spark.functions import codec, media, signatures
 
-MEDIA_SYNTH_VERSION = 1
+MEDIA_SYNTH_VERSION = 2
 
 # query-shape constants shared with media_queries.py: golden tables are
 # computed FOR these parameters, so the Spark queries must use the same ones
 FRAME_STRIDE = 2
 PAIR_MIN_SHARED = 2
+PAIR_MAX_VIDEOS_PER_HASH = 64
 RESIZE_HW = (16, 16)
 
 
@@ -199,6 +200,8 @@ def _gen_video(n_video: int, cfg: DedupConfig) -> tuple[pd.DataFrame, pd.DataFra
             by_hash.setdefault(ph, []).append(vid)
     shared: dict[tuple[str, str], int] = {}
     for members in by_hash.values():
+        if len(members) > PAIR_MAX_VIDEOS_PER_HASH:
+            continue  # df-cutoff, mirrors operators/media.video_pair_candidates
         for a_i in range(len(members)):
             for b_i in range(a_i + 1, len(members)):
                 key = (members[a_i], members[b_i])

@@ -167,3 +167,39 @@ def test_pack_tar_deterministic():
     assert pack_tar(members) == pack_tar(list(reversed(members)))
     assert pack_tar(members, "gz") == pack_tar(members, "gz")
     assert pack_tar(members, "xz") == pack_tar(members, "xz")
+
+
+def test_corrupt_member_and_non_utf8_caption_degrade(spark):
+    """F4 at MEMBER level: a member whose image magic lies (truncated body)
+    keeps its row with no pixel props instead of killing the task, and a
+    non-UTF-8 .caption sidecar never raises — the container's other members
+    are unaffected."""
+    rng = np.random.default_rng(11)
+    cfg = DedupConfig()
+    good = encode_png(_img(rng))
+    truncated = good[:12]  # valid DPNG/PNG magic, unusable body
+    blob = pack_zip([
+        ("ok.png", good, "fine"),
+        ("broken.png", truncated, ""),
+    ])
+    # non-UTF-8 caption sidecar attached manually
+    import io
+    import zipfile
+
+    buf = io.BytesIO(blob)
+    with zipfile.ZipFile(buf, "a") as zf:
+        zf.writestr("ok2.png", good)
+        zf.writestr("ok2.png.caption", b"\xff\xfe caf\xe9")  # raw non-UTF-8 bytes
+    rows = [("arc", buf.getvalue(), 0, 0, "zip", "", 0)]
+    images = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, "
+              "caption string, phash long"
+    )
+    flat, _ = flatten_with_archives(images, cfg)
+    out = {r["image_id"]: r for r in flat.collect()}
+    assert "arc/ok.png" in out and "arc/broken.png" in out
+    assert out["arc/ok.png"]["w"] == 16 and out["arc/ok.png"]["phash"] != 0
+    # degraded member: row kept, no pixel props, byte hash still possible
+    assert out["arc/broken.png"]["w"] == 0 and out["arc/broken.png"]["phash"] == 0
+    assert bytes(out["arc/broken.png"]["bytes"]) == truncated
+    assert "arc/ok2.png" in out  # non-UTF-8 caption replaced, row intact

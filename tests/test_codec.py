@@ -6,6 +6,7 @@ from dupion_spark.functions.codec import (
     encode_jpeg,
     encode_png,
     psnr_db,
+    try_decode_image,
 )
 
 
@@ -232,3 +233,29 @@ def test_real_jpeg_decodes_above_psnr_gate_with_pillow():
     out = decode_image(buf.getvalue())
     assert out.shape == pixels.shape
     assert psnr_db(out, pixels) > 30.0
+
+
+def test_real_png_palette_index_out_of_range_degrades():
+    """A malformed palette PNG whose pixel indexes past PLTE must raise
+    ValueError (caught by try_decode_image -> None), never a bare
+    IndexError that would escape the F4 wrapper and kill the task."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    raw = b"\x00" + bytes([5])  # pixel index 5, palette has 1 entry
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", bytes([9, 8, 7]))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_real_png(data)
+    assert try_decode_image(data) is None

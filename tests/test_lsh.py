@@ -205,3 +205,20 @@ def test_probe_sets_disjoint_beyond_radius():
     for band in range(4):
         b |= 0b111 << (band * 16)
     assert not (_top_level_buckets(a) & _top_level_buckets(b))
+
+
+def test_pixel_prefilter_follows_band_plan():
+    """The phash prefilter radius tracks the active plan's catch guarantee
+    (3*bands): an unaligned radius admits band-collision pairs the plan no
+    longer guarantees to generate — measured as ~91% of verify work at 600k
+    (BENCH/BASELINE.md). <= 0 stays disabled at every scale."""
+    cfg = DedupConfig()
+    assert cfg.pixel_prefilter(None) == 12
+    assert cfg.pixel_prefilter(1_200) == 12
+    assert cfg.pixel_prefilter(600_000) == 9
+    assert cfg.pixel_prefilter(50_000_000) == 6
+    off = DedupConfig(prefilter_hamming=0)
+    assert off.pixel_prefilter(600_000) == 0
+    # a configured radius TIGHTER than the plan's is respected
+    tight = DedupConfig(prefilter_hamming=7)
+    assert tight.pixel_prefilter(600_000) == 7

@@ -192,3 +192,60 @@ def test_audio_features_and_near_dup_fingerprints(spark):
     )
     assert ham(fp, fp_q) <= 6
     assert ham(fp, fp_o) >= 16
+
+
+# --------------------------------------------------------------------------
+# F4 degradation regressions: corrupt payloads must never kill a task
+# --------------------------------------------------------------------------
+
+def test_malformed_riff_wav_degrades_to_none():
+    """RIFF/WAVE magic with garbage chunks raises wave.Error inside the
+    stdlib — the try_ wrapper must convert it to None (F4), not escape."""
+    junk = b"RIFF" + b"\x24\x00\x00\x00" + b"WAVE" + b"\x00" * 32
+    assert media.try_decode_audio(junk) is None
+
+
+def test_truncated_video_container_degrades(spark, cfg):
+    """Valid DVID magic + frame count but truncated body: the length-prefix
+    walk hits struct.error mid-container; the whole video must degrade to
+    the single frame_idx=-1 NULL-signature row, same as a bad-magic blob."""
+    good = media.encode_video([codec.encode_png(_frame(3)) for _ in range(4)])
+    truncated = good[:10]
+    # a container whose prefix LIES (points past the buffer) degrades too
+    lying = media.MAGIC_VIDEO + struct.pack("<H", 2) + struct.pack("<I", 10**6)
+    df = spark.createDataFrame(
+        [("t1", truncated), ("t2", lying), ("ok", good)],
+        "video_id string, bytes binary",
+    )
+    frames = media_ops.sample_frames(df, cfg, stride=2).toPandas()
+    by_vid = frames.groupby("video_id")["frame_idx"].apply(list).to_dict()
+    assert by_vid["t1"] == [-1]
+    assert by_vid["t2"] == [-1]
+    assert sorted(by_vid["ok"]) == [0, 2]
+    bad = frames[frames.video_id.isin(["t1", "t2"])]
+    assert bad.phash.isna().all() and bad.n_frames.isna().all()
+
+
+def test_video_pair_df_cutoff_drops_nondiscriminative_hash(spark, cfg):
+    """A frame hash shared by more videos than max_videos_per_hash is a
+    non-discriminative df-cutoff casualty: it must contribute no pairs (and
+    no quadratic join blowup); pairs sharing rarer hashes still surface."""
+    common = codec.encode_png(_frame(500))  # the "black frame"
+    rare = [codec.encode_png(_frame(600 + i)) for i in range(2)]
+    rows = [
+        (f"v{i:02d}", media.encode_video([common])) for i in range(6)
+    ] + [
+        ("dup_a", media.encode_video([common] + rare)),
+        ("dup_b", media.encode_video([common] + rare)),
+    ]
+    df = spark.createDataFrame(rows, "video_id string, bytes binary")
+    frames = media_ops.sample_frames(df, cfg, stride=1)
+    pairs = media_ops.video_pair_candidates(
+        frames, min_shared=2, max_videos_per_hash=4
+    ).toPandas()
+    # the common hash (8 videos > cap 4) is dropped: dup_a/dup_b still pair
+    # via their 2 rare shared hashes; no other pair reaches min_shared=2
+    assert len(pairs) == 1
+    row = pairs.iloc[0]
+    assert (row.id_l, row.id_r) == ("dup_a", "dup_b")
+    assert row.shared_frames == 2
