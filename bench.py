@@ -145,7 +145,14 @@ def _scale_worker(fixture_path: str, cores: int) -> None:
     scratch = f"/dev/shm/dupion_scale_{cores}"
     os.makedirs(scratch, exist_ok=True)
     spark = get_spark(
-        f"dupion_scale_{cores}", cores=cores, shuffle_partitions=32,
+        # shuffle partitions FIXED across both legs (identical physical plans;
+        # only executor-thread count varies) but sized to the DATA, not the
+        # smallest leg's core count: at 600k, 32 partitions granularity-capped
+        # the pairs stage (107s at 8 AND 32 cores; 128 partitions -> 98/49s).
+        # A real deployment sizes shuffle partitions by bytes per partition;
+        # 128 keeps ~100-200MB band-shuffle partitions at these scales.
+        f"dupion_scale_{cores}", cores=cores,
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SCALE_PARTS", "128")),
         extra_conf={"spark.local.dir": scratch},
     )
     images = spark.read.parquet(fixture_path)

@@ -76,6 +76,25 @@ class DedupConfig:
     minhash_max_bucket: int = 8   # all-pairs window for caption-band buckets
     salt_buckets: int = 16        # salted repartition fan-out for hot band keys
 
+    # --- sampled hot-key detection (pixel buckets, large corpora only) -------
+    # Exact over-cap detection aggregates EVERY band key: at 600k under the
+    # 3-band plan that is a ~40M-near-unique-key shuffle whose cost grows
+    # superlinearly with the corpus (hash-agg tables spill; the counts rows
+    # themselves are corpus-scale). But the cap is a PERFORMANCE guard, not a
+    # correctness gate: a missed hot bucket just runs the inline-prefiltered
+    # all-pairs join (more comparisons, identical verified output — verify is
+    # authoritative). So above hot_sample_min_reps, pixel hot keys are
+    # detected from a hot_sample_fraction row sample (flag keys whose sampled
+    # count exceeds half the expected at-cap sample), then EXACTLY re-counted
+    # on just the flagged keys — the full-key counts shuffle disappears.
+    # Binomial tails: a bucket at 2x cap is missed with p < 1e-6 at 1/16
+    # sampling; marginal buckets (cap..1.5x cap) are occasionally missed and
+    # cost a bounded extra all-pairs (~cap^2/2 codegen comparisons). Caption
+    # buckets keep exact detection: their cap (8) is below sampling
+    # resolution and their key table is an order of magnitude smaller.
+    hot_sample_min_reps: int = 200_000
+    hot_sample_fraction: float = 0.0625  # 1/16
+
     # --- corpus-adaptive banding ---------------------------------------------
     # With FIXED band-key entropy, bucket occupancy grows linearly with the
     # corpus and within-bucket comparisons quadratically (measured: 2x input

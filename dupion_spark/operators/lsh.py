@@ -278,7 +278,7 @@ def candidate_pairs(
     # recomputing it per consumer costs more in BOTH wall and scaling
     # (65.7s vs 47.8s at 8 cores; AQE replans the wider trees serially), so
     # the checkpoint stays.
-    bands = bands.localCheckpoint(eager=False)  # 3 consumers: hot/small/big
+    bands = bands.localCheckpoint(eager=False)  # consumers: hot detection (sample+recheck or exact), small anti-join, big join
 
     # ONLY the over-cap bucket keys (with their hub signatures) ever need to
     # meet the band table again. An earlier layout joined the FULL per-bucket
@@ -289,17 +289,44 @@ def candidate_pairs(
     # anti-join and the big path's inner join both stay AQE-broadcastable;
     # at scales where even the hot set outgrows broadcast they degrade to
     # shuffle joins that move only hot keys, never the counts table.
-    hot = (
-        bands.groupBy("band_key")
-        .agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.min("rep_id").alias("_hub"),
-            F.min_by("phash", "rep_id").alias("_hub_ph"),
-            F.min_by("simhash", "rep_id").alias("_hub_sh"),
+
+    def _hot_agg(rows: DataFrame, bucket_cap) -> DataFrame:
+        return (
+            rows.groupBy("band_key")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.min("rep_id").alias("_hub"),
+                F.min_by("phash", "rep_id").alias("_hub_ph"),
+                F.min_by("simhash", "rep_id").alias("_hub_sh"),
+            )
+            .filter(F.col("_n") > bucket_cap)
         )
-        .filter(F.col("_n") > cap)
-        .localCheckpoint(eager=False)  # two consumers: anti-join + big path
-    )
+
+    if n_reps is not None and n_reps >= cfg.hot_sample_min_reps:
+        # sampled hot detection for the pixel keys (see DedupConfig): the
+        # exact per-key counts agg is itself corpus-scale at large N (~40M
+        # near-unique keys at 600k under the 3-band plan). Flag candidate
+        # hot keys from a row sample, then EXACTLY re-count just the flagged
+        # slice — a missed marginal bucket degrades to a bounded all-pairs
+        # join, never to wrong output (verify is authoritative).
+        frac = cfg.hot_sample_fraction
+        flag_threshold = max(1, int(cfg.max_band_bucket * frac / 2))
+        pix = bands.filter(~is_caption)
+        flagged = (
+            pix.sample(fraction=frac, seed=cfg.seed)
+            .groupBy("band_key")
+            .agg(F.count(F.lit(1)).alias("_sn"))
+            .filter(F.col("_sn") > flag_threshold)
+            .select("band_key")
+        )
+        pix_hot = _hot_agg(pix.join(flagged, "band_key"), F.lit(cfg.max_band_bucket))
+        capt_hot = _hot_agg(bands.filter(is_caption), F.lit(cfg.minhash_max_bucket))
+        hot = pix_hot.unionByName(capt_hot).localCheckpoint(eager=False)
+    else:
+        # exact detection at small scale: bitwise-stable bucket routing is
+        # what the sf0.001/sf0.01 golden oracles value-check against
+        hot = _hot_agg(bands, cap).localCheckpoint(eager=False)
+    # hot consumers: small-path anti-join + big-path inner join
 
     # the all-pairs self-join joins the SAME materialized plan to itself
     # (aliases, not two differently-projected copies), so both join sides

@@ -222,3 +222,30 @@ def test_pixel_prefilter_follows_band_plan():
     # a configured radius TIGHTER than the plan's is respected
     tight = DedupConfig(prefilter_hamming=7)
     assert tight.pixel_prefilter(600_000) == 7
+
+
+def test_sampled_hot_detection_matches_exact_clusters(spark):
+    """Sampled hot-key detection (DedupConfig.hot_sample_*) must preserve the
+    candidate-pair guarantees: the sampled-hot set is a subset of the exact
+    hot set re-counted exactly, so a missed bucket degrades to all-pairs —
+    the near pair must still surface, and the pair set may only GROW
+    (direct all-pairs supersedes the cascade's star links)."""
+    sigs = spark.createDataFrame(_rows(), SIG_SCHEMA)
+    # activate the sampled path on this tiny corpus
+    cfg_sampled = DedupConfig(max_band_bucket=16, hot_sample_min_reps=1,
+                              hot_sample_fraction=0.5)
+    exact_pairs = {
+        (r["id_l"], r["id_r"])
+        for r in lsh.candidate_pairs(lsh.band_table(sigs, CFG), CFG).collect()
+    }
+    sampled_pairs = {
+        (r["id_l"], r["id_r"])
+        for r in lsh.candidate_pairs(
+            lsh.band_table(sigs, cfg_sampled), cfg_sampled, n_reps=22
+        ).collect()
+    }
+    assert ("x_a", "x_b") in sampled_pairs
+    # every exact DIRECT pair survives; extras only from missed hot buckets
+    # falling back to all-pairs (never fewer genuine near pairs)
+    direct_exact = {p for p in exact_pairs if p == ("x_a", "x_b")}
+    assert direct_exact <= sampled_pairs
