@@ -82,8 +82,11 @@ class DedupConfig:
     # superlinearly with the corpus (hash-agg tables spill; the counts rows
     # themselves are corpus-scale). But the cap is a PERFORMANCE guard, not a
     # correctness gate: a missed hot bucket just runs the inline-prefiltered
-    # all-pairs join (more comparisons, identical verified output — verify is
-    # authoritative). So above hot_sample_min_reps, pixel hot keys are
+    # all-pairs join — its candidate set is a SUPERSET of the hub-star
+    # cascade's, so the verified edge set can only GROW (extra candidates are
+    # verify-filtered; monotone, not identical, vs exact detection — the
+    # guarantee is no recall loss, deterministic per seed). So above
+    # hot_sample_min_reps, pixel hot keys are
     # detected from a hot_sample_fraction row sample (flag keys whose sampled
     # count exceeds half the expected at-cap sample), then EXACTLY re-counted
     # on just the flagged keys — the full-key counts shuffle disappears.

@@ -358,7 +358,15 @@ def candidate_pairs(
     big = bands.join(hot, "band_key")
 
     # caption over-cap buckets: star links to the hub, hub-hamming filtered
-    # (recall is carried by the pixel bands — see docstring). Star links
+    # (recall is carried by the pixel bands — see docstring). The PLAN-ALIGNED
+    # ph_limit is intentionally shared with this caption path even though the
+    # 3*bands catch-guarantee rationale is pixel-specific: caption banding can
+    # surface pairs at phash hamming (plan_limit..12] that the narrowed radius
+    # now drops, which is safe ONLY because verify is pixel-authoritative and
+    # every measured such pair fails the PSNR gate (65,855/65,855 rejected at
+    # 600k). If caption-verified edges (require_caption_lcs as an OR-path) are
+    # ever added, caption-sourced pairs must keep cfg.prefilter_hamming
+    # instead. Star links
     # carry a 'star_*' band_src: direct labels sort lexicographically before
     # star labels, so after the min-agg below a pair is labeled star_* iff
     # its ONLY provenance is hub-star links — the exact population exposed
