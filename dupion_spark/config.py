@@ -75,6 +75,19 @@ class DedupConfig:
     max_band_bucket: int = 256    # all-pairs window for pixel-band buckets
     minhash_max_bucket: int = 8   # all-pairs window for caption-band buckets
     salt_buckets: int = 16        # salted repartition fan-out for hot band keys
+    # Second-level sub-buckets (the cascade for over-cap pixel buckets) run
+    # DIRECT all-pairs up to this LARGER window instead of hub star links —
+    # closing the round-4 residual recall hole where a member far from its
+    # sub-hub lost its only direct edge. The quadratic work is bounded
+    # (sub_allpairs_max^2/2 inline-prefiltered codegen comparisons per
+    # sub-bucket, ~8.4M at 4096 = single-digit core-seconds) and only the
+    # double-over-cap slice pays it; AQE skew-join splitting keeps individual
+    # tasks bounded. Hub star links remain ONLY for sub-buckets beyond this
+    # window (> 4096 members agreeing on 16 phash bits within 1 flip —
+    # adversarial mega-crowds where quadratic work is genuinely unpayable);
+    # that residual exposure stays observable per run via the
+    # star_only_pairs lineage metric.
+    sub_allpairs_max: int = 4096
 
     # --- sampled hot-key detection (pixel buckets, large corpora only) -------
     # Exact over-cap detection aggregates EVERY band key: at 600k under the

@@ -239,12 +239,16 @@ def candidate_pairs(
     measured at 300k, its sub table approached the size of the TOP-level
     band table (17.1M vs 26.1M rows) and its self-join dominated the pairs
     stage, so the 68-key disjoint form wins at identical radius. Sub-buckets
-    under the cap run all-pairs; sub-buckets STILL over the cap fall back to
-    hub star links — overwhelmingly phash-near-identical mega-groups where
-    star edges pass verify; a member far from its sub-hub can still lose a
-    direct edge there (the same latent hole one level down, made 2^16 rarer
-    per window); documented rather than recursed again. Cost is linear: 68
-    sub-rows per over-cap member, emitted only for the over-cap slice."""
+    up to cfg.sub_allpairs_max run DIRECT all-pairs — a sub-bucket merely
+    over the TOP-level cap no longer star-links, so a member far from its
+    sub-hub keeps its direct edges (the round-4 residual recall hole,
+    closed; quadratic work is bounded per bucket and inline-prefiltered in
+    codegen, with AQE skew-join splitting the tasks). Only sub-buckets
+    beyond sub_allpairs_max — adversarial mega-crowds agreeing on 16 phash
+    bits within 1 flip — fall back to hub star links, labeled star_pixel so
+    the exposed population is countable per run (the star_only_pairs
+    lineage metric). Cost stays linear in members: 68 sub-rows per over-cap
+    member, emitted only for the over-cap slice."""
     # Guard: when the band table was built on the LONG surrogate sid (see
     # band_table), downstream verify/CC join on STRING image_id — emitting
     # long pairs without an id_map would make every downstream inner join
@@ -419,8 +423,10 @@ def candidate_pairs(
         "rep_id", "phash", "simhash",
         F.explode(F.array(*sub_keys)).alias("sub_key"),
     )
-    # same hot-key structure as the top level: only over-cap sub-bucket keys
-    # rejoin the sub table
+    # same hot-key structure as the top level, but with the LARGER
+    # sub_allpairs_max window: sub-buckets within it run direct all-pairs
+    # (recall-complete; see docstring), so only true mega-crowd sub-buckets
+    # rejoin the sub table for star links
     sub_hot = (
         sub.groupBy("sub_key")
         .agg(
@@ -429,7 +435,7 @@ def candidate_pairs(
             F.min_by("phash", "rep_id").alias("_shub_ph"),
             F.min_by("simhash", "rep_id").alias("_shub_sh"),
         )
-        .filter(F.col("_sn") > F.lit(cfg.max_band_bucket))
+        .filter(F.col("_sn") > F.lit(cfg.sub_allpairs_max))
         .localCheckpoint(eager=False)
     )
     sub_small = sub.join(sub_hot.select("sub_key"), "sub_key", "left_anti")
@@ -446,11 +452,13 @@ def candidate_pairs(
             F.lit("pixel").alias("band_src"),
         )
     )
-    # sub-buckets still over the cap fall back to hub stars. With 16-bit sub
-    # keys these are overwhelmingly phash-near-identical mega-groups (star
-    # edges pass verify there); the residual risk — a member >2*prefilter
-    # bits from its sub-hub losing its only direct edge — is the documented
-    # one-level-down latent hole (see candidate_pairs docstring)
+    # sub-buckets beyond the sub_allpairs_max window fall back to hub stars:
+    # >4096 members agreeing on 16 phash bits within 1 flip are adversarial
+    # near-identical mega-crowds where star edges overwhelmingly pass verify
+    # and quadratic work is unpayable; the residual risk — a member
+    # >prefilter bits from its sub-hub losing its only direct edge — now
+    # requires that mega-crowd saturation and stays countable per run via
+    # the star_only_pairs lineage metric (see candidate_pairs docstring)
     sub_star = (
         sub.join(sub_hot, "sub_key")
         .filter(F.col("rep_id") != F.col("_shub"))

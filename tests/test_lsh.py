@@ -250,3 +250,90 @@ def test_sampled_hot_detection_matches_exact_clusters(spark):
     # cascade's star links; detected buckets run the identical cascade) —
     # extras only, never fewer pairs
     assert exact_pairs <= sampled_pairs
+
+
+# --- double-saturation recall (the round-4 residual hole, now closed) -------
+# A 20-member crowd with IDENTICAL phash P saturates every top-level bucket
+# AND every sub-window bucket it touches (at cap 16). The planted near pair
+# (y_a, y_b) agrees with P exactly on band 0 and window 0 — so EVERY bucket
+# the pair shares, at both levels, is a crowd-saturated one — while both
+# members sit 32 bits from P (every hub star edge is hamming-filtered away).
+# Pre-fix, the window-0 sub-bucket star-linked to the crowd hub and the pair
+# lost all connectivity; with the sub_allpairs_max window it gets a DIRECT
+# all-pairs edge.
+def _saturated_rows():
+    ph_crowd = _phash(0x1234, 0x5555, 0x6666, 0x7777)
+    rows = []
+    for i in range(20):
+        sh = _signed(0x0123_4567_89AB_CDEF ^ (i * 0x1111_2222_3333_4444))
+        mh = [1_000_000 + i * 64 + j for j in range(64)]
+        rows.append((f"f{i:02d}", 64, 64, mh, sh, ph_crowd))
+    # band 0 (bits 0-15) and band-1 low byte (bits 16-23) equal P's -> the
+    # pair collides with the crowd in band 0 AND window 0 (bits 8-23); all
+    # other bands/windows differ from P by >= 3 bits (no probe collision)
+    ph_a = _phash(0x1234, 0xAA55, 0xBBBB, 0xCCCC)
+    # y_b: 3-bit flips in window 1 (bits 24-26), window 2 (40-42) and
+    # window 3 (56-58) -> hamming(a, b) = 9 <= 11 but >= 3 per band/window,
+    # so the pair's ONLY shared buckets are the saturated crowd ones
+    ph_b = _signed(
+        (ph_a & ((1 << 64) - 1)) ^ (0b111 << 24) ^ (0b111 << 40) ^ (0b111 << 56)
+    )
+    rows.append(("y_a", 64, 64, [2_000_000 + j for j in range(64)],
+                 _signed(0x0F0F_0F0F_0F0F_0F0F), ph_a))
+    rows.append(("y_b", 64, 64, [3_000_000 + j for j in range(64)],
+                 _signed(0xF0F0_F0F0_F0F0_F0F0), ph_b))
+    return rows
+
+
+def test_double_saturation_premises(spark):
+    """The fixture actually saturates BOTH levels for every bucket the pair
+    shares — otherwise the direct-pair assertion below would be vacuous."""
+    rows = _saturated_rows()
+    by_id = {r[0]: r for r in rows}
+    ph_a, ph_b = by_id["y_a"][5], by_id["y_b"][5]
+    ph_crowd = by_id["f00"][5]
+    assert _ham(ph_a, ph_b) == 9
+    assert _ham(ph_crowd, ph_a) > 12 and _ham(ph_crowd, ph_b) > 12
+    # every sub-window bucket shared by the pair also holds the full crowd
+    shared_sub = _sub_buckets(ph_a) & _sub_buckets(ph_b)
+    assert shared_sub and shared_sub <= _sub_buckets(ph_crowd)
+    # every TOP-level bucket shared by the pair is over-cap (crowd inside)
+    from pyspark.sql import functions as F
+
+    cfg = DedupConfig(max_band_bucket=16)
+    bands = lsh.band_table(spark.createDataFrame(rows, SIG_SCHEMA), cfg)
+    shared = (
+        bands.groupBy("band_key")
+        .agg(F.collect_set("rep_id").alias("ids"), F.count(F.lit(1)).alias("n"))
+        .filter(F.array_contains("ids", "y_a") & F.array_contains("ids", "y_b"))
+        .collect()
+    )
+    assert shared and all(r["n"] > cfg.max_band_bucket for r in shared)
+
+
+def test_double_saturated_pair_keeps_direct_edge(spark):
+    """Sub-buckets within sub_allpairs_max run DIRECT all-pairs: the planted
+    pair survives double saturation with a 'pixel' (non-star) edge."""
+    cfg = DedupConfig(max_band_bucket=16)  # default sub_allpairs_max (4096)
+    sigs = spark.createDataFrame(_saturated_rows(), SIG_SCHEMA)
+    got = {
+        (r["id_l"], r["id_r"]): r["band_src"]
+        for r in lsh.candidate_pairs(lsh.band_table(sigs, cfg), cfg).collect()
+    }
+    assert got.get(("y_a", "y_b")) == "pixel"
+
+
+def test_mega_crowd_still_falls_back_to_stars(spark):
+    """Beyond sub_allpairs_max the bounded star fallback (and its documented
+    residual exposure) still engages: the crowd keeps hub-star connectivity,
+    the far-from-hub pair loses its direct edge — exactly the population the
+    star_only_pairs lineage metric counts."""
+    # 19 < 20 so even the crowd-only sub-windows (20 members) saturate
+    cfg = DedupConfig(max_band_bucket=16, sub_allpairs_max=19)
+    sigs = spark.createDataFrame(_saturated_rows(), SIG_SCHEMA)
+    got = {
+        (r["id_l"], r["id_r"]): r["band_src"]
+        for r in lsh.candidate_pairs(lsh.band_table(sigs, cfg), cfg).collect()
+    }
+    assert ("y_a", "y_b") not in got
+    assert got.get(("f00", "f01")) == "star_pixel"

@@ -99,3 +99,45 @@ def test_shadowed_images_are_exactly_dup_partition_members(result, fixture_small
 
 def test_prune_ratio_reported(result):
     assert 0.0 <= result.metrics["prune_ratio"] < 1.0
+
+
+# --- saturated-cap run: the star_only_pairs == 0 planted-fixture gate --------
+@pytest.fixture(scope="module")
+def saturated_result(spark, images_df, partition_map_df):
+    """Same fixture, caps tightened until the planted mega-cluster (~30
+    near-identical reps) saturates the TOP-level pixel buckets and rides the
+    sub-band cascade. With the sub_allpairs_max window every sub-bucket runs
+    direct all-pairs, so recall must hold with ZERO star-only pairs."""
+    from dupion_spark.config import DedupConfig
+
+    tight = DedupConfig(max_band_bucket=8, minhash_max_bucket=4)
+    return run_pipeline(spark, images_df, tight, partition_map=partition_map_df)
+
+
+def test_saturated_run_recall(saturated_result, fixture_small):
+    assign = _cluster_assign(saturated_result)
+    pairs = fixture_small.golden_pairs
+    hit = sum(1 for _, p in pairs.iterrows() if assign[p.id_l] == assign[p.id_r])
+    assert hit / len(pairs) >= 0.99
+
+
+def test_saturated_run_no_star_only_pairs(saturated_result):
+    """Every candidate pair has a DIRECT (non-star) provenance — the planted
+    fixture never exposes the residual mega-crowd star fallback."""
+    row = (
+        saturated_result.lineage
+        .filter("stage = 'pairs' and part_key = 'star_only_pairs'")
+        .collect()
+    )
+    assert len(row) == 1 and row[0]["rows_out"] == 0
+
+
+def test_saturated_run_no_cross_golden_merges(saturated_result, fixture_small):
+    assign = _cluster_assign(saturated_result)
+    gc = fixture_small.golden_clusters
+    nonunique = gc[~gc.kind.isin(["unique", "decoy"])]
+    by_engine: dict[str, set[int]] = {}
+    for _, row in nonunique.iterrows():
+        by_engine.setdefault(assign[row.image_id], set()).add(row.cluster_id)
+    merged = {k: v for k, v in by_engine.items() if len(v) > 1}
+    assert not merged, f"engine merged golden clusters: {merged}"
