@@ -8,11 +8,20 @@ Shapes, designed for 10^12-row corpora:
 - **Coarse quantizer (centroids) is driver-resident by design.** IVF keeps
   the centroid table small (K ~ sqrt(N); faiss defaults K<=2^18 even for
   billion-vector indexes) precisely so it can live with the query broker.
-  Here the K centroids are `collect()`ed and baked into a literal
-  projection — cell assignment is then a pure map-side expression over the
-  corpus: NO shuffle, NO window, no corpus-side join. At K beyond a few
-  thousand the same assignment becomes a broadcast join + `max_by`
-  aggregate (map-side combine), still shuffle-free on the corpus.
+  Assignment is zero-shuffle at every K, with a K-dispatched physical form:
+  below IVF_LITERAL_MAX_K the K centroids are baked into a literal
+  projection (pure Catalyst expression, SQL-replicable — the path every
+  oracle-checked query pins); above it the same argmax runs as ONE dense
+  numpy matmul per Arrow batch inside a pandas UDF, the centroid matrix
+  riding along in the serialized closure (K x dim doubles — a few MB even
+  at faiss's 2^18 ceiling). The matmul form exists because the obvious
+  "broadcast join + max_by" alternative is NOT shuffle-free in practice: a
+  corpus x K broadcast join materializes K rows per vector before the
+  aggregate, and the final per-vec_id agg still exchanges one row per
+  vector (unique keys defeat partial aggregation) — at 10^12 rows that is
+  a corpus-scale shuffle plus a 10^15-row intermediate. The matmul touches
+  each batch once, allocates nothing per row, and is the faiss coarse-
+  quantization kernel expressed in Arrow batches.
 - **Cells partition the corpus** (each vector lives in exactly one cell),
   so nprobe search needs no candidate dedup — unlike multiprobe sign-LSH
   (queries.q_emb_lsh_knn) where overlapping buckets force a
@@ -32,6 +41,8 @@ and sign-LSH multiprobe (queries.q_emb_lsh_knn).
 """
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -77,16 +88,64 @@ def _cos_to(cent: dict):
     return F.round(dot / (F.col("norm") * F.lit(cent["cn"])), _RANK_DP)
 
 
+# Above this K the literal-projection assignment stops being sensible (the
+# expression tree carries K*dim literals through analysis/codegen; Catalyst
+# compile time grows with K and the generated method eventually exceeds JVM
+# limits) and assignment dispatches to the Arrow-batched matmul. 64 keeps
+# every oracle-checked query (K <= 16) on the SQL-replicable literal path
+# while production K (10^3..10^5 cells) gets the vectorized kernel.
+IVF_LITERAL_MAX_K = 64
+
+
 def ivf_assign(vecs: DataFrame, centroids: list[dict]) -> DataFrame:
     """Assign every vector to its nearest centroid (highest cosine, ties ->
-    lowest cell_id) as a single map-side projection: the K cosines form an
-    array literal-expression; argmax = array_position of the max (first
-    match == lowest cell_id). Zero shuffle at any corpus size."""
+    lowest cell_id), zero-shuffle at any corpus size. K-dispatched physical
+    form (see module docstring): literal projection below IVF_LITERAL_MAX_K
+    — the K cosines form an array literal-expression; argmax =
+    array_position of the max (first match == lowest cell_id) — and the
+    Arrow-batched numpy matmul above it. Both paths round cosines to the
+    same _RANK_DP and break ties to the lowest cell_id, so they assign
+    identically (parity pytest at K=512, tests/test_ann.py)."""
+    if len(centroids) > IVF_LITERAL_MAX_K:
+        return _ivf_assign_bulk(vecs, centroids)
+    return _ivf_assign_literal(vecs, centroids)
+
+
+def _ivf_assign_literal(vecs: DataFrame, centroids: list[dict]) -> DataFrame:
+    """Small-K assignment as a pure Catalyst literal projection (the
+    SQL-replicable form the oracle-checked queries pin)."""
     cos_arr = F.array(*[_cos_to(c) for c in centroids])
     return vecs.withColumn(
         "cell_id",
         (F.array_position(cos_arr, F.array_max(cos_arr)) - 1).cast("int"),
     )
+
+
+def _ivf_assign_bulk(vecs: DataFrame, centroids: list[dict]) -> DataFrame:
+    """Production-K assignment: one dense (batch x dim) @ (dim x K) numpy
+    matmul per Arrow batch inside a pandas UDF. The centroid matrix is
+    pre-normalized driver-side and ships in the UDF closure (K x dim
+    doubles); each executor deserializes it once per python worker, not per
+    batch. No corpus shuffle, no K-row blowup, no per-row python."""
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.array([c["cv"] for c in centroids], dtype=np.float64)
+    cnorm = np.array([c["cn"] for c in centroids], dtype=np.float64)
+    cnorm[cnorm == 0.0] = 1.0
+    # (dim x K) with the centroid norm folded in: cos = (v @ cn) / |v|
+    cmat_n = (cmat / cnorm[:, None]).T.copy()
+
+    @pandas_udf("int")
+    def _assign(v: pd.Series, norm: pd.Series) -> pd.Series:
+        mat = np.array(v.tolist(), dtype=np.float64)
+        n = norm.to_numpy(dtype=np.float64).copy()
+        n[n == 0.0] = 1.0
+        cos = np.round((mat @ cmat_n) / n[:, None], _RANK_DP)
+        # np.argmax returns the FIRST max — the lowest cell_id, matching the
+        # literal path's array_position tie-break
+        return pd.Series(cos.argmax(axis=1).astype("int32"))
+
+    return vecs.withColumn("cell_id", _assign("v", "norm"))
 
 
 def lloyd_refine(

@@ -135,3 +135,42 @@ def test_ivf_lloyd_refine_keeps_invariants(spark):
     recall = len(brute & got) / len(brute)
     print(f"\nIVF+Lloyd recall @ nprobe={Q.IVF_NPROBE}/{Q.IVF_K}: {recall:.3f}")
     assert recall >= 0.3, recall
+
+
+def test_ivf_assign_parity_at_production_k(spark):
+    """K=512 (past IVF_LITERAL_MAX_K): the Arrow-batched matmul assignment
+    must agree with the literal projection vector-for-vector — same rounded
+    cosines, same lowest-cell_id tie-break. 2000 deterministic 64-dim
+    vectors, 512 seed centroids."""
+    import numpy as np
+
+    rng = np.random.default_rng(512)
+    mat = rng.normal(size=(2000, 64))
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(2000)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    vecs = ann.normed_vecs(emb).localCheckpoint(eager=False)
+    cents = ann.seed_centroids(vecs, 512)
+    assert len(cents) == 512 > ann.IVF_LITERAL_MAX_K
+
+    bulk = {
+        r["vec_id"]: r["cell_id"]
+        for r in ann.ivf_assign(vecs, cents).collect()  # dispatches to matmul
+    }
+    literal = {
+        r["vec_id"]: r["cell_id"]
+        for r in ann._ivf_assign_literal(vecs, cents).collect()
+    }
+    assert bulk == literal
+    # sanity: the dispatch really took the bulk path and partitioned fully
+    assert len(bulk) == 2000
+    assert set(bulk.values()) <= set(range(512))
+
+
+def test_ivf_assign_small_k_stays_literal(spark):
+    """Oracle-checked queries (K <= IVF_LITERAL_MAX_K) must keep the
+    SQL-replicable literal plan: no python workers in the physical plan."""
+    (emb,) = Q._tables(spark, SF_DIR, "embeddings")
+    vecs = ann.normed_vecs(emb)
+    cents = ann.seed_centroids(vecs, Q.IVF_K)
+    plan = ann.ivf_assign(vecs, cents)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
