@@ -835,6 +835,31 @@ FROM events GROUP BY date_trunc('hour', ts), event_type
 """
 
 
+def q_stream_dedup_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-equivalent of the streaming watermarked dedup (streaming/
+    dedup_stream.windowed_first_events): first event per (user_id,
+    event_type) in each 10-minute event-time tumbling window. The identical
+    plan runs as a Structured Streaming aggregation with a watermark
+    (tests/test_streaming.py asserts batch == streamed output), so this row
+    hash-checks the streaming operator's semantics against DuckDB."""
+    from dupion_spark.streaming.dedup_stream import windowed_first_events
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return windowed_first_events(events)
+
+
+SQL_STREAM_DEDUP = """
+SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start_s,
+       user_id, event_type, event_id, ts
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id, event_type, floor(epoch(ts) / 600)
+      ORDER BY ts, event_id) AS rn
+  FROM events)
+WHERE rn = 1
+"""
+
+
 def q_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary (the classic bench headline)."""
     (lineitem,) = _tables(spark, sf_dir, "lineitem")
@@ -1759,6 +1784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
         "events_window_agg": q_events_window_agg,
+        "stream_dedup_batch_equiv": q_stream_dedup_batch_equiv,
         "q1_pricing": q_q1_pricing,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_lsh_buckets": q_emb_lsh_buckets,
@@ -1801,6 +1827,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": SQL_TEXT_STATS,
         "text_langid": SQL_TEXT_LANGID,
         "events_window_agg": SQL_EVENTS_WINDOW,
+        "stream_dedup_batch_equiv": SQL_STREAM_DEDUP,
         "q1_pricing": SQL_Q1,
         "emb_cosine_topk": SQL_EMB_TOPK,
         "emb_lsh_buckets": SQL_EMB_LSH,

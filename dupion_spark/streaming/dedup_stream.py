@@ -67,6 +67,55 @@ def dedup_transform(
     )
 
 
+# tumbling-window width for the event-table dedup: the batch-equivalent's
+# window plays the role the watermark delay plays in dropDuplicatesWithinWatermark
+# (how long a first sighting suppresses duplicates), made deterministic by
+# anchoring to EVENT time instead of state-arrival time
+STREAM_DEDUP_WINDOW_SEC = 600
+
+
+def windowed_first_events(
+    events: DataFrame,
+    window_sec: int = STREAM_DEDUP_WINDOW_SEC,
+    watermark: str | None = None,
+) -> DataFrame:
+    """First event per (user_id, event_type) in each event-time tumbling
+    window — the DETERMINISTIC batch-equivalent of watermarked streaming
+    dedup, and the form that gives the streaming operator a SQL-checkable
+    CORRECTNESS row (dropDuplicatesWithinWatermark keeps whichever duplicate
+    ARRIVES first, which no stateless oracle can replicate; anchoring the
+    keep-decision to event time makes batch and stream agree row-for-row).
+
+    Scale shape: min(struct(ts, event_id)) is map-side combinable, so the
+    one shuffle carries a single row per (key, window) — never the event
+    stream. The SAME plan runs as a Structured Streaming aggregation: pass
+    watermark to bound state (tests assert batch == streamed availableNow
+    output). Ties break to the lowest event_id."""
+    # watermarks require a tz-aware TIMESTAMP event-time column; the events
+    # table stores TIMESTAMP_NTZ. The cast interprets it in the session tz,
+    # pinned UTC — the same instant DuckDB's epoch() assigns the naive value
+    # — and is used only for windowing; the ORIGINAL ts rides through the
+    # aggregate so the output schema matches the table's.
+    df = events.withColumn("_evt", F.col("ts").cast("timestamp"))
+    if watermark:
+        df = df.withWatermark("_evt", watermark)
+    return (
+        df.groupBy(
+            F.window("_evt", f"{window_sec} seconds").alias("win"),
+            F.col("user_id"),
+            F.col("event_type"),
+        )
+        .agg(F.min(F.struct("ts", "event_id")).alias("first"))
+        .select(
+            F.col("win.start").cast("long").alias("window_start_s"),
+            "user_id",
+            "event_type",
+            F.col("first.event_id").alias("event_id"),
+            F.col("first.ts").alias("ts"),
+        )
+    )
+
+
 def run_stream(
     spark: SparkSession, input_dir: str, output_dir: str, checkpoint_dir: str
 ):

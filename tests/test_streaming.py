@@ -104,3 +104,38 @@ def test_event_time_watermark_suppresses_then_readmits(spark, tmp_path):
 
     out = {r["image_id"] for r in spark.read.parquet(out_dir).collect()}
     assert out == {"a1", "c1", "a3"}, out
+
+
+def test_windowed_first_events_batch_equals_stream(spark, tmp_path):
+    """The CORRECTNESS-row query (stream_dedup_batch_equiv) and the actual
+    Structured Streaming aggregation it models must agree row-for-row: same
+    windowed_first_events plan, batch vs readStream + availableNow drain."""
+    import shutil
+
+    from dupion_spark.streaming.dedup_stream import windowed_first_events
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    in_dir = str(tmp_path / "events_in")
+    os.makedirs(in_dir)
+    shutil.copy(src, os.path.join(in_dir, "part-0.parquet"))
+
+    events = spark.read.parquet(src)
+    batch = sorted(tuple(r) for r in windowed_first_events(events).collect())
+    assert batch, "empty batch result would make the equality vacuous"
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        windowed_first_events(stream, watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("wfe_equiv")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM wfe_equiv").collect())
+    assert got == batch
