@@ -247,6 +247,53 @@ def _check_planted_worker(fixture_path: str) -> None:
     spark.stop()
 
 
+def _gen_doc_fixture_worker(fixture_path: str, n_rows: int) -> None:
+    from dupion_spark.session import get_spark
+    from dupion_spark.sources.synth_docs import generate_doc_fixture
+
+    spark = get_spark("dupion_doc_gen", cores=32, shuffle_partitions=64)
+    generate_doc_fixture(spark, fixture_path, n_rows)
+    spark.stop()
+
+
+def _doc_scale_worker(fixture_path: str, cores: int) -> None:
+    """Doc-path scale leg: MinHash signatures + LSH candidate pairs over a
+    document fixture, stage walls reported separately (the signature table
+    is eagerly checkpointed so sec_pairs times ONLY pair generation — the
+    stage whose corpus-growth law the text path must hold). Same measurement
+    discipline as the image legs: fresh JVM, /dev/shm scratch, fixed
+    shuffle partitions, caller pins cores via taskset."""
+    import time as _time
+
+    from dupion_spark import queries as Q
+    from dupion_spark.session import get_spark
+
+    scratch = f"/dev/shm/dupion_docscale_{cores}"
+    os.makedirs(scratch, exist_ok=True)
+    spark = get_spark(
+        f"dupion_docscale_{cores}", cores=cores,
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SCALE_PARTS", "128")),
+        extra_conf={"spark.local.dir": scratch},
+    )
+    docs = spark.read.parquet(fixture_path)
+    n = docs.count()
+    # warmup: codegen + python-worker spin-up on a small slice
+    _force(Q._doc_pairs(Q._minhash_sig(docs.limit(2000)), n_docs=2000))
+    start = _time.time()
+    sig = Q._minhash_sig(docs).localCheckpoint(eager=True)
+    t_sig = _time.time() - start
+    pairs = Q._doc_pairs(sig, n_docs=n)
+    _force(pairs)
+    t_pairs = _time.time() - start - t_sig
+    n_pairs = pairs.count()
+    spark.stop()
+    print(json.dumps({
+        "n_docs": n, "cores": cores, "sec_sig": round(t_sig, 2),
+        "sec_pairs": round(t_pairs, 2), "sec_total": round(t_sig + t_pairs, 2),
+        "n_pairs": n_pairs,
+    }))
+
+
 def _gen_fixture_worker(fixture_path: str, n_rows: int) -> None:
     from dupion_spark.session import get_spark
     from dupion_spark.sources.synth_spark import generate_scaling_fixture
@@ -325,6 +372,12 @@ def main() -> None:
         return
     if len(sys.argv) >= 3 and sys.argv[1] == "--check-planted":
         _check_planted_worker(sys.argv[2])
+        return
+    if len(sys.argv) >= 4 and sys.argv[1] == "--gen-doc-fixture":
+        _gen_doc_fixture_worker(sys.argv[2], int(sys.argv[3]))
+        return
+    if len(sys.argv) >= 4 and sys.argv[1] == "--doc-scale-worker":
+        _doc_scale_worker(sys.argv[2], int(sys.argv[3]))
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

@@ -528,8 +528,43 @@ SQL_DEDUP_MINHASH = (
 # literally in the oracle SQL so both engines compute identical pair sets.
 DOC_MAX_BAND_BUCKET = 16
 
+# --- doc-corpus scale knobs (mirrors of the pixel path's DedupConfig) -------
+# Sampled hot detection: the exact per-key counts agg over doc band keys is
+# the same corpus-scale near-unique-key shuffle the pixel path replaced with
+# sampling (commit 6b1ca5c); above this corpus size, hot keys are flagged
+# from a row sample and EXACTLY re-counted on just the flagged slice. A
+# missed marginal bucket degrades to that bucket's all-pairs join — a
+# SUPERSET of its star links (extra pairs only; exact-Jaccard/pixel verify
+# downstream is authoritative), never a recall loss.
+DOC_HOT_SAMPLE_MIN_DOCS = 200_000
+DOC_HOT_SAMPLE_FRACTION = 0.0625  # 1/16
 
-def _doc_pairs(sig: DataFrame) -> DataFrame:
+# Corpus-adaptive banding: with fixed 4x4 banding, doc band-bucket occupancy
+# grows linearly with the corpus and within-bucket comparisons quadratically
+# — the text analog of the pixel path's fixed-entropy superlinearity. At
+# mega-corpus scale the plan steps to 2 bands x 8 rows: per-band selectivity
+# multiplies by the extra 4 signature slots, while the LSH similarity
+# threshold rises (s* = (1/b)^(1/r): 0.71 -> 0.92 Jaccard) — only
+# high-similarity near-dups remain catchable, the same guarantee-narrowing
+# trade the pixel plan makes (hamming 11 -> 8 -> 5). Oracle-checked queries
+# run far below the threshold and keep the default plan bit-for-bit.
+DOC_BANDS2_MIN_DOCS = 20_000_000
+
+
+def _doc_band_plan(n_docs: int | None) -> tuple[int, int]:
+    """(bands, rows) for a doc corpus of n_docs: 4x4 by default, 2x8 at
+    mega-corpus scale. bands * rows == 16 (the signature length) always."""
+    if n_docs is None or n_docs < DOC_BANDS2_MIN_DOCS:
+        return DOC_BANDS, DOC_ROWS
+    return 2, 8
+
+
+def _doc_pairs(
+    sig: DataFrame,
+    n_docs: int | None = None,
+    hot_sample_min_docs: int = DOC_HOT_SAMPLE_MIN_DOCS,
+    hot_sample_fraction: float = DOC_HOT_SAMPLE_FRACTION,
+) -> DataFrame:
     """Banding + capped candidate-pair generation over the signature table,
     with the image path's hot-key join discipline (operators/lsh
     .candidate_pairs): ONLY the over-cap bucket keys — orders of magnitude
@@ -541,20 +576,47 @@ def _doc_pairs(sig: DataFrame) -> DataFrame:
     injective key works; collisions at 2^-64 only add candidates that exact
     verification re-checks), ~40% fewer shuffle bytes per band row. The
     DuckDB oracle keeps md5 keys: bucket contents, caps, and hubs — the
-    semantics — are identical, so the pair sets match."""
+    semantics — are identical, so the pair sets match.
+
+    n_docs: corpus-size hint. Drives (a) the ADAPTIVE band plan
+    (_doc_band_plan — fewer, more selective bands at mega-corpus scale) and
+    (b) SAMPLED hot detection above hot_sample_min_docs: flag candidate hot
+    keys from a hot_sample_fraction row sample, then exactly re-count just
+    the flagged slice — the full near-unique-key counts shuffle (the text
+    path's superlinear term, mirroring the pixel fix in commit 6b1ca5c)
+    disappears. A missed marginal bucket runs all-pairs: a SUPERSET of its
+    star links (property-tested), never fewer pairs."""
+    bands_n, rows_n = _doc_band_plan(n_docs)
     keys = []
-    for band in range(DOC_BANDS):
-        cols = [F.col(f"h{band * DOC_ROWS + r}") for r in range(DOC_ROWS)]
+    for band in range(bands_n):
+        cols = [F.col(f"h{band * rows_n + r}") for r in range(rows_n)]
         keys.append(F.xxhash64(F.lit(f"docband:{band}"), *cols))
     bands = sig.select(
         "doc_id", F.explode(F.array(*keys)).alias("key")
     ).localCheckpoint(eager=False)  # 3 consumers: hot agg, anti-join, big join
-    hot = (
-        bands.groupBy("key")
-        .agg(F.count(F.lit(1)).alias("_n"), F.min("doc_id").alias("_hub"))
-        .filter(F.col("_n") > DOC_MAX_BAND_BUCKET)
-        .localCheckpoint(eager=False)  # 2 consumers: anti-join + big path
-    )
+
+    def _hot_agg(rows: DataFrame) -> DataFrame:
+        return (
+            rows.groupBy("key")
+            .agg(F.count(F.lit(1)).alias("_n"), F.min("doc_id").alias("_hub"))
+            .filter(F.col("_n") > DOC_MAX_BAND_BUCKET)
+        )
+
+    if n_docs is not None and n_docs >= hot_sample_min_docs:
+        flag_threshold = max(1, int(DOC_MAX_BAND_BUCKET * hot_sample_fraction / 2))
+        flagged = (
+            bands.sample(fraction=hot_sample_fraction, seed=42)
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("_sn"))
+            .filter(F.col("_sn") > flag_threshold)
+            .select("key")
+        )
+        hot = _hot_agg(bands.join(flagged, "key"))
+    else:
+        # exact detection at small scale: bitwise-stable bucket routing is
+        # what the DuckDB oracles value-check against
+        hot = _hot_agg(bands)
+    hot = hot.localCheckpoint(eager=False)  # 2 consumers: anti-join + big path
     small = bands.join(hot.select("key"), "key", "left_anti")
     sl, sr = small.alias("l"), small.alias("r")
     # SHUFFLE_HASH pinned for the same reason as the image path: AQE sees a
@@ -579,8 +641,11 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The signature table feeds _doc_pairs exactly once — the band table
     inside _doc_pairs is the checkpointed multi-consumer anchor, so no
-    extra materialization here."""
-    return _doc_pairs(q_dedup_minhash_docs(spark, sf_dir))
+    extra materialization here. The corpus count (a cheap zero-column scan)
+    feeds the adaptive band plan + sampled hot detection; at oracle scales
+    both stay at the exact/default behavior the SQL mirrors."""
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return _doc_pairs(_minhash_sig(docs), n_docs=docs.count())
 
 
 def _sql_band_key(band: int) -> str:
@@ -647,7 +712,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     its three consumers (two member projections + the intersection join)."""
     (docs,) = _tables(spark, sf_dir, "documents")
     sig = _minhash_sig(docs)
-    pairs = _doc_pairs(sig).localCheckpoint(eager=False)
+    pairs = _doc_pairs(sig, n_docs=docs.count()).localCheckpoint(eager=False)
     member_ids = (
         pairs.select(F.col("id_l").alias("doc_id"))
         .unionByName(pairs.select(F.col("id_r").alias("doc_id")))

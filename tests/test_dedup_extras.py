@@ -148,3 +148,65 @@ def test_dedup_clusters_docs_verified_edges_only(spark):
             parent[max(ra, rb)] = min(ra, rb)
     want = {d: find(d) for d in labels}
     assert labels == want
+
+
+# ---------------------------------------------------------------------------
+# doc-path scale knobs: sampled hot detection + adaptive banding
+# ---------------------------------------------------------------------------
+def _hot_crowd_docs(spark):
+    """30 identical boilerplate docs (every band bucket hot at cap 16), one
+    genuine near pair, 20 uniques."""
+    rows = []
+    boiler = "the quick brown fox jumps over the lazy dog " * 4
+    for i in range(30):
+        rows.append((f"b{i:03d}", boiler))
+    near = "glaciers carve fjords beneath the aurora while kestrels wheel over the lagoon"
+    rows.append(("n_a", near))
+    rows.append(("n_b", near + "!"))
+    for i in range(20):
+        rows.append((f"u{i:03d}", f"unique document number {i} about {'x' * (i + 3)} and meadows"))
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_doc_sampled_hot_pairs_superset_of_exact(spark):
+    """The monotonicity property the sampled path must keep (mirror of the
+    pixel-path test): every exact-detection pair survives sampling — a
+    missed hot bucket degrades to all-pairs, a SUPERSET of its star links;
+    detected buckets run the identical star path."""
+    docs = _hot_crowd_docs(spark)
+    sig = Q._minhash_sig(docs).localCheckpoint(eager=False)
+    exact = {(r["id_l"], r["id_r"]) for r in Q._doc_pairs(sig).collect()}
+    sampled = {
+        (r["id_l"], r["id_r"])
+        for r in Q._doc_pairs(
+            sig, n_docs=52, hot_sample_min_docs=1, hot_sample_fraction=0.5
+        ).collect()
+    }
+    # premises: the boilerplate crowd actually went hot (star pairs to the
+    # hub exist) and the near pair is direct in both
+    assert ("b000", "b001") in exact
+    assert ("n_a", "n_b") in exact and ("n_a", "n_b") in sampled
+    assert exact <= sampled
+
+
+def test_doc_band_plan_thresholds():
+    assert Q._doc_band_plan(None) == (4, 4)
+    assert Q._doc_band_plan(100_000) == (4, 4)
+    assert Q._doc_band_plan(Q.DOC_BANDS2_MIN_DOCS) == (2, 8)
+    b, r = Q._doc_band_plan(10**12)
+    assert b * r == 16
+
+
+def test_doc_wide_plan_still_catches_identical_docs(spark):
+    """At the 2x8 plan (mega-corpus hint) identical signatures still share
+    every band — the wide plan narrows the Jaccard threshold, not exact
+    recall — and the sampled hot path engages together with it."""
+    docs = _hot_crowd_docs(spark)
+    sig = Q._minhash_sig(docs).localCheckpoint(eager=False)
+    wide = {
+        (r["id_l"], r["id_r"])
+        for r in Q._doc_pairs(sig, n_docs=Q.DOC_BANDS2_MIN_DOCS).collect()
+    }
+    assert ("n_a", "n_b") in wide or ("b000", "b001") in wide
+    # identical boilerplate docs stay connected through the hub stars
+    assert any(p[0] == "b000" for p in wide)
