@@ -7,8 +7,9 @@ re-encode error stays above the PSNR>=40dB allclose gate. The Spark-side
 plumbing (binary columns, Arrow batches, pandas-UDF signatures) is identical to
 what a real decoder would use. `decode_image` dispatches real magic as:
 real PNG -> Pillow if importable, else the pure numpy+zlib decoder in
-functions/png.py (so real PNG is first-class in THIS container, not gated);
-real JPEG -> Pillow only (entropy coding is not reasonably stdlib-able).
+functions/png.py; real JPEG -> Pillow if importable, else the pure numpy
+baseline T.81 decoder in functions/jpeg.py — both real formats are
+first-class in THIS container, not gated.
 
 Formats (all little-endian):
   lossless: b"DPNG" u16 h u16 w u8 c  zlib(raw HxWxC uint8)
@@ -84,10 +85,12 @@ def decode_image(data: bytes) -> np.ndarray:
             from dupion_spark.functions.png import decode_real_png
 
             return decode_real_png(data)
-        raise NotImplementedError(
-            "real JPEG bytes need Pillow, which is not installed; "
-            "synthesize inputs with encode_png/encode_jpeg instead"
-        )
+        # real JPEG decodes WITHOUT Pillow too: pure numpy baseline-sequential
+        # T.81 decoder (functions/jpeg.py) — Pillow (libjpeg-turbo) stays the
+        # preferred path above when importable
+        from dupion_spark.functions.jpeg import decode_real_jpeg
+
+        return decode_real_jpeg(data)
     raise ValueError(f"unknown image magic: {data[:4]!r}")
 
 

@@ -141,3 +141,43 @@ def test_saturated_run_no_cross_golden_merges(saturated_result, fixture_small):
         by_engine.setdefault(assign[row.image_id], set()).add(row.cluster_id)
     merged = {k: v for k, v in by_engine.items() if len(v) > 1}
     assert not merged, f"engine merged golden clusters: {merged}"
+
+
+def test_real_codec_reencode_pair_clusters(spark):
+    """Real-bytes end-to-end: a real PNG and a real baseline JPEG
+    (functions/png.py + functions/jpeg.py, no Pillow, no stand-in codec) of
+    the same pixels must land in one cluster — decode -> phash banding ->
+    PSNR verify on actual spec-compliant bytes, the reference's re-encode
+    semantic (driver/platterwalker.rs:268-344 grafted to decoded pixels)."""
+    import numpy as np
+
+    from dupion_spark.config import DedupConfig
+    from dupion_spark.functions.jpeg import encode_real_jpeg
+    from dupion_spark.functions.png import encode_real_png
+    from dupion_spark.functions.signatures import phash64
+    from dupion_spark.streaming.dedup_stream import IMAGE_SCHEMA
+
+    cfg = DedupConfig()
+    rng = np.random.default_rng(21)
+
+    def smooth():
+        coarse = rng.integers(16, 240, size=(16, 16, 3))
+        up = np.repeat(np.repeat(coarse, 4, 0), 4, 1)
+        return np.clip(up + rng.integers(-6, 7, up.shape), 0, 255).astype(np.uint8)
+
+    base = smooth()
+    rows = [
+        ("real_png", bytearray(encode_real_png(base)), 64, 64, "png",
+         "caption one", phash64(base, cfg)),
+        ("real_jpg", bytearray(encode_real_jpeg(base)), 64, 64, "jpeg",
+         "caption two", phash64(base, cfg)),
+    ]
+    for i in range(6):
+        px = smooth()
+        rows.append((f"uniq{i}", bytearray(encode_real_png(px)), 64, 64,
+                     "png", f"caption u{i}", phash64(px, cfg)))
+    images = spark.createDataFrame(rows, IMAGE_SCHEMA)
+    result = run_pipeline(spark, images, cfg)
+    assign = {r["image_id"]: r["cluster_root"] for r in result.clusters.collect()}
+    assert assign["real_png"] == assign["real_jpg"]
+    assert assign["real_png"] not in {assign[f"uniq{i}"] for i in range(6)}
