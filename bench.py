@@ -37,6 +37,7 @@ HEADLINE = [
     "ngram_jaccard",
     "text_fingerprint",
     "events_window_agg",
+    "stream_dedup_batch_equiv",
     "o3_tree_sort",
     "p2_tree_export",
     "m3_apply_dedup",
@@ -124,6 +125,20 @@ def _scaling_fixture_path() -> str:
     return os.path.join(REPO, "data", f"scaling_{SCALE_N}")
 
 
+def _cfg_from_env():
+    """DedupConfig for scale workers, with env overrides for legs that must
+    exercise a plan step below its production threshold (the sandbox cannot
+    hold a 20M-image fixture): SPARK_GRAFT_BANDS2_MIN lowers
+    bands2_min_reps so a 1.2M leg runs the 2x32-bit band plan + radius-6
+    prefilter — the same code path 20M+ reps would select."""
+    from dupion_spark.config import DedupConfig
+
+    kw = {}
+    if os.environ.get("SPARK_GRAFT_BANDS2_MIN"):
+        kw["bands2_min_reps"] = int(os.environ["SPARK_GRAFT_BANDS2_MIN"])
+    return DedupConfig(**kw)
+
+
 def _scale_worker(fixture_path: str, cores: int) -> None:
     """Subprocess entry: one pipeline run at the given core count, fresh JVM.
     Shuffle partitions are FIXED at 32 for both levels so the physical plan is
@@ -131,7 +146,6 @@ def _scale_worker(fixture_path: str, cores: int) -> None:
     same-job-different-cluster-size."""
     import time as _time
 
-    from dupion_spark.config import DedupConfig
     from dupion_spark.pipeline import run_pipeline
     from dupion_spark.session import get_spark
 
@@ -160,10 +174,11 @@ def _scale_worker(fixture_path: str, cores: int) -> None:
     # warmup on a small slice: JVM codegen + python-worker spin-up are
     # one-time, parallelism-independent costs that would otherwise pollute
     # the scaling ratio (measured ~20s of a cold run)
-    warm = run_pipeline(spark, images.limit(1000), DedupConfig())
+    cfg = _cfg_from_env()
+    warm = run_pipeline(spark, images.limit(1000), cfg)
     _force(warm.clusters)
     start = _time.time()
-    result = run_pipeline(spark, images, DedupConfig(), source_path=fixture_path)
+    result = run_pipeline(spark, images, cfg, source_path=fixture_path)
     t_pipe = _time.time() - start
     _force(result.clusters)
     t_clusters = _time.time() - start - t_pipe
@@ -188,13 +203,12 @@ def _check_planted_worker(fixture_path: str) -> None:
     1.0). Prints one JSON verdict line."""
     from collections import Counter
 
-    from dupion_spark.config import DedupConfig
     from dupion_spark.pipeline import run_pipeline
     from dupion_spark.session import get_spark
 
     spark = get_spark("dupion_planted_check", cores=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
     images = spark.read.parquet(fixture_path)
-    result = run_pipeline(spark, images, DedupConfig(), source_path=fixture_path)
+    result = run_pipeline(spark, images, _cfg_from_env(), source_path=fixture_path)
     rows = result.clusters.collect()
     n = len(rows)
     cluster_of = {r["image_id"]: r["cluster_root"] for r in rows}
