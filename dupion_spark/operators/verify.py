@@ -82,6 +82,11 @@ def gather_payloads(
         "pages_read": sc.accumulator(0),
         "pages_total": sc.accumulator(0),
         "fallback_rgs": sc.accumulator(0),
+        # fallbacks split by cause: dense = the density cutoff chose the
+        # C++ whole-chunk read on purpose; the rest are envelope misses
+        # (v2 pages, exotic encodings, ...) — the two need different fixes,
+        # and a counter that conflates them hides which one is happening
+        "fallback_dense": sc.accumulator(0),
     }
     if gather_metrics is not None:
         gather_metrics.update(acc)
@@ -111,7 +116,9 @@ def gather_payloads(
                     acc["pages_read"].add(stats.pages_read)
                     acc["bytes_total"].add(stats.bytes_total)
                     acc["bytes_read"].add(stats.bytes_read)
-                except pagegather.Unsupported:
+                except pagegather.Unsupported as exc:
+                    if str(exc).startswith("dense:"):
+                        acc["fallback_dense"].add(1)
                     # whole-row-group fallback: read only the bytes column and
                     # `take` the needed positions (the pre-round-4 path)
                     pf = pq.ParquetFile(f)

@@ -294,7 +294,7 @@ def run_pipeline(
         # (operators/verify.gather_payloads): bytes_total = what whole-chunk
         # reads would have decompressed, bytes_read = what the page walk paid
         for k in ("bytes_read", "bytes_total", "pages_read", "pages_total",
-                  "fallback_rgs"):
+                  "fallback_rgs", "fallback_dense"):
             mgr.extra_lineage.append(
                 ("verified_edges", f"gather_{k}", int(gather_acc[k].value))
             )
