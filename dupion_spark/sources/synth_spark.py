@@ -108,11 +108,20 @@ def generate_scaling_fixture(
         # dictionary encoding off + bounded pages: unique image blobs gain
         # nothing from a dictionary (and a dict-encoded chunk defeats the
         # page-selective verify gather — see sources/synth.py); 256 KiB pages
-        # keep the gather's decompress unit at ~a few images
+        # keep the gather's decompress unit at ~a few images.
+        # row.check.min matters more than page.size for ~45 KB blobs:
+        # parquet-mr only CHECKS the page-size budget every
+        # page.size.row.check.min records (default 100), so without it every
+        # page holds ~100 blobs (~4.5 MB) and the 256 KiB target is never
+        # honored — at that granularity any realistic candidate density
+        # covers ~every page and the selective gather rightly falls back to
+        # whole-chunk reads (observed: 256/256 dense fallbacks at 600k)
         (
             base.mapInPandas(gen, IMAGE_SCHEMA).write.mode("overwrite")
             .option("parquet.enable.dictionary", "false")
             .option("parquet.page.size", str(256 * 1024))
+            .option("parquet.page.size.row.check.min", "2")
+            .option("parquet.page.size.row.check.max", "32")
             .parquet(out_path)
         )
     return spark.read.parquet(out_path)
