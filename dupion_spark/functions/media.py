@@ -4,9 +4,10 @@ Same philosophy as the image codec (`functions/codec.py`): the container has
 no media libraries (no ffmpeg / libsndfile / PyAV), so the engine ships
 deterministic stand-in formats whose *Spark-side plumbing* — binary columns,
 Arrow batches, pandas-UDF signatures, seek-without-decode access — is identical
-to what real decoders would use. Real-format dispatch exists where the stdlib
-can honestly provide it (RIFF/WAVE via `wave`); anything needing an external
-library raises `NotImplementedError` behind a clearly-marked guard that the
+to what real decoders would use. Real-format dispatch exists where this repo
+can honestly provide it (RIFF/WAVE via stdlib `wave`; real FLAC via the pure
+python+numpy decoder in `functions/flac.py`); anything needing an external
+library (mp3/ogg) raises `NotImplementedError` behind a clearly-marked guard the
 `try_*` wrappers convert to validity-degradation (F4 semantics: a corrupt or
 undecodable row must never kill a 100 TB job).
 
@@ -71,11 +72,16 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
             n = wf.getnframes()
             pcm = np.frombuffer(wf.readframes(n), dtype=np.int16)
             return pcm.reshape(n, ch), wf.getframerate()
-    if data[:3] == b"ID3" or data[:2] in (b"\xff\xfb", b"\xff\xf3") or data[:4] in (
-        b"fLaC", b"OggS"
-    ):
+    if data[:4] == b"fLaC":
+        # real FLAC decodes WITHOUT libFLAC: pure python+numpy stream
+        # decoder (functions/flac.py) — CONSTANT/VERBATIM/FIXED/LPC
+        # subframes, Rice residuals, stereo decorrelation, CRC-verified
+        from dupion_spark.functions.flac import decode_real_flac
+
+        return decode_real_flac(data)
+    if data[:3] == b"ID3" or data[:2] in (b"\xff\xfb", b"\xff\xf3") or data[:4] == b"OggS":
         raise NotImplementedError(
-            "compressed audio (mp3/flac/ogg) needs an external decoder, "
+            "compressed audio (mp3/ogg) needs an external decoder, "
             "which is not installed; synthesize inputs with encode_audio"
         )
     raise ValueError(f"unknown audio magic: {data[:4]!r}")
