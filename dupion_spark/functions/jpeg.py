@@ -222,6 +222,10 @@ def decode_real_jpeg(data: bytes) -> np.ndarray:
         return _decode_real_jpeg(data)
     except (IndexError, struct.error) as exc:  # truncated segment/stream
         raise ValueError(f"invalid JPEG: {exc}") from exc
+    except KeyError as exc:  # scan references a table no DQT/DHT defined
+        # (e.g. MJPEG frames relying on fixed tables — see functions/avi.py
+        # ensure_dht); must surface as ValueError for the F4 validity path
+        raise ValueError(f"invalid JPEG: undefined table {exc}") from exc
 
 
 def _decode_real_jpeg(data: bytes) -> np.ndarray:

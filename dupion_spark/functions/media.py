@@ -16,6 +16,8 @@ Formats (little-endian):
   video: b"DVID" u16 n_frames u16 fps_milli? -> kept minimal:
          b"DVID" u16 n_frames  then per frame: u32 byte_len + encoded image
          (any format `functions/codec.py` decodes — DPNG/DJPG)
+  real video: RIFF/MJPEG AVI dispatches to `functions/avi.py` (frames are
+         baseline JPEG, decoded by `functions/jpeg.py` — no ffmpeg needed)
 
 The length-prefixed video layout matters at scale: frame sampling walks the
 u32 prefixes and decompresses ONLY sampled frames — a stride-10 sample of a
@@ -151,22 +153,50 @@ def encode_video(frames: list[bytes]) -> bytes:
 
 
 def video_frame_count(data: bytes) -> int:
-    if data[:4] != MAGIC_VIDEO:
-        raise ValueError(f"unknown video magic: {data[:4]!r}")
-    return struct.unpack("<H", data[4:6])[0]
+    """Frame count for any supported video container: DVID (engine) or real
+    RIFF/MJPEG AVI (functions/avi.py — decodes without ffmpeg because the
+    frames are baseline JPEG, which functions/jpeg.py handles)."""
+    if data[:4] == MAGIC_VIDEO:
+        return struct.unpack("<H", data[4:6])[0]
+    from dupion_spark.functions import avi
+
+    if avi.is_avi(data):
+        return avi.avi_frame_count(data)
+    raise ValueError(f"unknown video magic: {data[:4]!r}")
 
 
 def iter_frame_spans(data: bytes):
-    """Yield (frame_idx, start, end) byte spans by walking the u32 length
-    prefixes — NO decompression of frame payloads. This is the seek path
-    frame sampling uses to skip unsampled frames."""
-    n = video_frame_count(data)
-    off = 6
-    for idx in range(n):
-        (ln,) = struct.unpack_from("<I", data, off)
-        off += 4
-        yield idx, off, off + ln
-        off += ln
+    """Yield (frame_idx, start, end) byte spans WITHOUT decompressing frame
+    payloads — the seek path frame sampling uses to skip unsampled frames.
+    DVID walks the u32 length prefixes; AVI walks the movi list's 8-byte
+    RIFF chunk headers. Slice frames via `extract_frame_bytes`, not raw
+    `data[start:end]`: AVI/MJPEG frames may omit DHT tables."""
+    if data[:4] == MAGIC_VIDEO:
+        n = struct.unpack("<H", data[4:6])[0]
+        off = 6
+        for idx in range(n):
+            (ln,) = struct.unpack_from("<I", data, off)
+            off += 4
+            yield idx, off, off + ln
+            off += ln
+        return
+    from dupion_spark.functions import avi
+
+    if avi.is_avi(data):
+        yield from avi.avi_frame_spans(data)
+        return
+    raise ValueError(f"unknown video magic: {data[:4]!r}")
+
+
+def extract_frame_bytes(data: bytes, start: int, end: int) -> bytes:
+    """Frame payload for a span from iter_frame_spans, normalized so the
+    image codec can decode it: AVI/MJPEG frames that omit DHT (the
+    fixed-tables convention) get the Annex K.3 tables spliced in."""
+    if data[:4] == MAGIC_VIDEO:
+        return data[start:end]
+    from dupion_spark.functions import avi
+
+    return avi.ensure_dht(data[start:end])
 
 
 def decode_video_frame(data: bytes, idx: int) -> np.ndarray:
@@ -175,12 +205,12 @@ def decode_video_frame(data: bytes, idx: int) -> np.ndarray:
 
     for i, start, end in iter_frame_spans(data):
         if i == idx:
-            return decode_image(data[start:end])
+            return decode_image(extract_frame_bytes(data, start, end))
     raise IndexError(f"frame {idx} out of range")
 
 
 def try_video_frame_count(data: bytes) -> int | None:
     try:
         return video_frame_count(data)
-    except (ValueError, struct.error):
+    except (ValueError, struct.error, IndexError):
         return None

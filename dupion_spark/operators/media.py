@@ -125,7 +125,8 @@ def sample_frames(
                         for idx, start, end in media.iter_frame_spans(data):
                             if idx % stride:
                                 continue  # skipped without decompression
-                            pixels = codec.try_decode_image(data[start:end])
+                            pixels = codec.try_decode_image(
+                                media.extract_frame_bytes(data, start, end))
                             sh, ph = (
                                 (None, None)
                                 if pixels is None
