@@ -17,11 +17,12 @@ Skew strategy (the mega-cluster problem):
      identical images are ONE node here.
   2. bucket-size caps sized to the multiprobe occupancy (DedupConfig
      .max_band_bucket): under-cap buckets run the inline-prefiltered
-     all-pairs self-join; over-cap CAPTION buckets fall back to hub star
-     links; over-cap PIXEL buckets go through second-level phash
-     sub-banding so genuine near pairs keep a DIRECT verifiable edge
-     (see candidate_pairs docstring). A 10^6-member hot bucket emits
-     linear, not quadratic, work on every path.
+     all-pairs self-join; over-cap CAPTION and SIMHASH buckets fall back
+     to hub star links (no recall obligation — the phash pigeonhole
+     carries the guarantee); over-cap PHASH buckets go through
+     second-level phash sub-banding so genuine near pairs keep a DIRECT
+     verifiable edge (see candidate_pairs docstring). A 10^6-member hot
+     bucket emits linear, not quadratic, work on every path.
   3. the all-pairs self-join is pinned to SHUFFLE_HASH (AQE would
      broadcast the corpus-sized band table) and runs under AQE skew-join
      splitting (spark.sql.adaptive.skewJoin.enabled).
@@ -70,6 +71,17 @@ def signature_table(images: DataFrame, reps: DataFrame, cfg: DedupConfig) -> Dat
 # band_src string per row (one bit of key entropy traded for a 56-byte-
 # smaller, allocation-free band row — see band_table)
 CAPTION_BIT = 1 << 62
+# bit 61 (on non-caption keys) marks a SIMHASH bucket. Over-cap simhash
+# buckets must route to hub STAR links, not phash sub-banding: simhash is a
+# diversity source with NO recall obligation (the phash multiprobe pigeonhole
+# carries the guarantee), and smooth-image simhash clumping grows over-cap
+# membership LINEARLY with the corpus — routing those members through phash
+# sub-banding produced 28.6e9 sub-bucket all-pairs comparisons at 1.2M images
+# (~3600 core-s, the whole 483s pairs wall; BENCH/diag_band_sources.py),
+# because low-entropy phash windows concentrate them into near-saturated
+# sub-buckets. Caption keys keep bit 61 unrouted (is_caption is checked
+# first), so only phash keys pay the 2-bit entropy cost.
+SIMHASH_BIT = 1 << 61
 
 
 def _caption_band_keys(cfg: DedupConfig):
@@ -87,7 +99,8 @@ def _caption_band_keys(cfg: DedupConfig):
     return keys
 
 
-def _hash64_band_keys(col_name: str, n_bands: int, tag: str, probe_bits: int):
+def _hash64_band_keys(col_name: str, n_bands: int, tag: str, probe_bits: int,
+                      mark_bit: int = 0):
     """Pre-combined keys over a 64-bit signature, with multiprobe expansion:
     besides the exact band value, emit every single-bit flip of it
     (probe_bits=1). Symmetric probing makes band values collide iff they
@@ -96,7 +109,11 @@ def _hash64_band_keys(col_name: str, n_bands: int, tag: str, probe_bits: int):
     JVM-side bit math. The image shape folds into the key: near-duplicate
     pixels always share (w, h) — the PSNR verify returns -inf on a shape
     mismatch — so dense low-frequency buckets split by shape class for free,
-    with zero recall loss."""
+    with zero recall loss.
+
+    mark_bit: source-marker bit OR'd into the key after clearing both marker
+    bits (SIMHASH_BIT for simhash keys, 0 for phash) — candidate_pairs routes
+    over-cap buckets by source (sub-banding vs star links)."""
     width = 64 // n_bands
     mask = (1 << width) - 1
     keys = []
@@ -106,10 +123,13 @@ def _hash64_band_keys(col_name: str, n_bands: int, tag: str, probe_bits: int):
         if probe_bits >= 1:
             probes += [val.bitwiseXOR(F.lit(1 << bit)) for bit in range(width)]
         for probe in probes:
-            keys.append(
+            key = (
                 F.xxhash64(F.lit(f"{tag}:{band}"), probe, F.col("w"), F.col("h"))
-                .bitwiseAND(F.lit(~CAPTION_BIT))
+                .bitwiseAND(F.lit(~(CAPTION_BIT | SIMHASH_BIT)))
             )
+            if mark_bit:
+                key = key.bitwiseOR(F.lit(mark_bit))
+            keys.append(key)
     return keys
 
 
@@ -142,7 +162,8 @@ def band_table(
     all_keys = (
         _caption_band_keys(cfg)
         + _hash64_band_keys("phash", phash_bands, "ph", cfg.probe_bits)
-        + _hash64_band_keys("simhash", cfg.simhash_bands, "sh", 0)
+        + _hash64_band_keys("simhash", cfg.simhash_bands, "sh", 0,
+                            mark_bit=SIMHASH_BIT)
     )
     # rows without pixel signatures (containers / corrupt payloads, F4) never
     # pass the pixel-authoritative verify — banding them is pure waste
@@ -218,11 +239,16 @@ def candidate_pairs(
     pigeonhole, so pixel buckets always cover it; boilerplate-caption buckets
     are impure and their pairs can never pass the pixel-authoritative verify.
 
-    PIXEL over-cap buckets: RECURSIVE SUB-BANDING, because star links cannot
+    SIMHASH over-cap buckets: hub STAR links too — simhash is a diversity
+    source with no recall obligation (see the simhash_star comment below for
+    the full argument and the measured 1.2M cost of sub-banding them).
+
+    PHASH over-cap buckets: RECURSIVE SUB-BANDING, because star links cannot
     carry recall through the verify gate — a hub edge only survives if the
     member is a near-dup OF THE HUB, so two members near each other but far
-    from the hub would lose connectivity (the round-2 latent recall hole).
-    Instead, members of an over-cap pixel bucket are re-bucketed by 4
+    from the hub would lose connectivity (the round-2 latent recall hole),
+    and the over-cap bucket may BE the pair's only guaranteed collision.
+    Instead, members of an over-cap phash bucket are re-bucketed by 4
     DISJOINT 16-bit windows OFFSET BY 8 BITS from the top-level band slices
     (window s covers bits [16s+8, 16s+23] mod 64), with 1-bit multiprobe.
     Disjoint pigeonhole: a pair at hamming d <= 11 has SOME window with
@@ -389,6 +415,33 @@ def candidate_pairs(
         )
     )
 
+    # simhash over-cap buckets: hub STAR links, same shape and same recall
+    # argument as the caption path — simhash carries no recall obligation
+    # (any genuine near pair within the plan radius is guaranteed a phash
+    # band collision; the simhash<=3 OR-path class in an over-cap bucket was
+    # never guaranteed by phash sub-windows either, so star links lose
+    # nothing it had). Routing these members through phash sub-banding
+    # instead was the 1.2M pairs-wall blowup: smooth-image simhash clumping
+    # grows over-cap membership linearly with the corpus, and those members'
+    # phashes concentrate in low-entropy sub-windows — 28.6e9 sub-bucket
+    # all-pairs comparisons at 1.2M (BENCH/diag_band_sources.py), ~100% of
+    # the 483 s pairs wall. Star links keep the cost linear in members.
+    is_simhash_key = (~is_caption) & (
+        F.col("band_key").bitwiseAND(F.lit(SIMHASH_BIT)) != 0
+    )
+    simhash_star = (
+        big.filter(is_simhash_key)
+        .filter(F.col("rep_id") != F.col("_hub"))
+        .filter(_hamming_ok(F.col("_hub_ph"), F.col("_hub_sh"),
+                            F.col("phash"), F.col("simhash"), cfg,
+                            ph_limit=ph_limit))
+        .select(
+            F.col("_hub").alias("id_l"),
+            F.col("rep_id").alias("id_r"),
+            F.lit("star_simhash").alias("band_src"),
+        )
+    )
+
     # pixel over-cap buckets: second-level sub-banding (4 disjoint 16-bit
     # windows offset 8 bits from the band slices, 1-bit multiprobe — see
     # docstring) over the DISTINCT over-cap member set — global scope, not
@@ -414,7 +467,7 @@ def candidate_pairs(
     # table — each consumer re-explodes from the cached members (parallel,
     # cheap) instead of reading a multi-hundred-MB checkpointed RDD
     members = (
-        big.filter(~is_caption)
+        big.filter((~is_caption) & (~is_simhash_key))
         .select("rep_id", "phash", "simhash")
         .distinct()
         .localCheckpoint(eager=False)  # consumers: sub_hot, anti, star join
@@ -474,6 +527,7 @@ def candidate_pairs(
 
     pairs = (
         small_pairs.unionByName(caption_star)
+        .unionByName(simhash_star)
         .unionByName(sub_pairs)
         .unionByName(sub_star)
         .groupBy("id_l", "id_r")

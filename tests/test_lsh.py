@@ -337,3 +337,86 @@ def test_mega_crowd_still_falls_back_to_stars(spark):
     }
     assert ("y_a", "y_b") not in got
     assert got.get(("f00", "f01")) == "star_pixel"
+
+
+# --- simhash over-cap routing (round-5: the 1.2M pairs-wall fix) -----------
+# A crowd sharing one IDENTICAL 64-bit simhash (smooth-image clumping) but
+# pairwise-far phashes saturates every simhash band bucket. Pre-fix those
+# members entered phash sub-banding, whose all-pairs work grew quadratically
+# with the corpus (28.6e9 comparisons at 1.2M — BENCH/diag_band_sources.py);
+# post-fix they take hub star links like caption buckets, which is recall-
+# safe because the phash pigeonhole carries the guarantee: the planted near
+# pair below sits INSIDE the over-cap simhash bucket and still gets its
+# DIRECT edge from its (under-cap) phash band-0 bucket.
+# The crowd shares phash window 0 (bits 8-23), so the OLD sub-banding would
+# have emitted direct crowd pairs — their absence is the routing proof.
+_B8 = [0x00, 0x0F, 0x33, 0x3C, 0x55, 0x5A, 0x66, 0x69]  # pairwise hamming 4
+
+
+def _simhash_crowd_rows():
+    sh_crowd = _signed(0xDEAD_BEEF_CAFE_F00D)
+    rows = []
+    for i, b in enumerate(_B8):
+        ph = _signed(b | (0xABCD << 8) | (b << 24) | (b << 32) | (b << 48))
+        mh = [1_000_000 + i * 64 + j for j in range(64)]
+        rows.append((f"g{i:02d}", 64, 64, mh, sh_crowd, ph))
+    ph_a = _phash(0x4321, 0x9999, 0x8888, 0x7777)
+    ph_b = _signed(
+        (ph_a & ((1 << 64) - 1)) ^ (0b111 << 16) ^ (0b111 << 32) ^ (0b111 << 48)
+    )
+    rows.append(("z_a", 64, 64, [2_000_000 + j for j in range(64)], sh_crowd, ph_a))
+    rows.append(("z_b", 64, 64, [3_000_000 + j for j in range(64)], sh_crowd, ph_b))
+    return rows
+
+
+def test_simhash_crowd_premises(spark):
+    """Non-vacuity: the pair is near (hamming 9), far from every crowd
+    member in phash, inside over-cap simhash buckets, and its phash band-0
+    bucket holds exactly the pair (under cap -> direct all-pairs)."""
+    rows = _simhash_crowd_rows()
+    by_id = {r[0]: r for r in rows}
+    ph_a, ph_b = by_id["z_a"][5], by_id["z_b"][5]
+    assert _ham(ph_a, ph_b) == 9
+    for i in range(8):
+        crowd_ph = by_id[f"g{i:02d}"][5]
+        assert _ham(crowd_ph, ph_a) > 12 and _ham(crowd_ph, ph_b) > 12
+        # no top-level phash probe collision with the pair (>= 3 bits/band)
+        assert not (_top_level_buckets(crowd_ph) & _top_level_buckets(ph_a))
+        assert not (_top_level_buckets(crowd_ph) & _top_level_buckets(ph_b))
+        # but the OLD sub-band cascade WOULD have bucketed crowd members
+        # together (shared window 0) — what the new routing must not do
+        if i:
+            assert _sub_buckets(crowd_ph) & _sub_buckets(by_id["g00"][5])
+    from pyspark.sql import functions as F
+
+    cfg = DedupConfig(max_band_bucket=4)
+    bands = lsh.band_table(spark.createDataFrame(rows, SIG_SCHEMA), cfg)
+    sim_keys = bands.filter(
+        (F.col("band_key").bitwiseAND(F.lit(lsh.SIMHASH_BIT)) != 0)
+        & (F.col("band_key").bitwiseAND(F.lit(lsh.CAPTION_BIT)) == 0)
+    )
+    sizes = [r["n"] for r in
+             sim_keys.groupBy("band_key").agg(F.count(F.lit(1)).alias("n")).collect()]
+    assert sizes and all(n == 10 > cfg.max_band_bucket for n in sizes)
+
+
+def test_simhash_overcap_routes_to_stars_not_subbanding(spark):
+    cfg = DedupConfig(max_band_bucket=4)
+    sigs = spark.createDataFrame(_simhash_crowd_rows(), SIG_SCHEMA)
+    got = {
+        (r["id_l"], r["id_r"]): r["band_src"]
+        for r in lsh.candidate_pairs(lsh.band_table(sigs, cfg), cfg).collect()
+    }
+    # the planted near pair keeps its DIRECT phash edge (recall unharmed)
+    assert got.get(("z_a", "z_b")) == "pixel"
+    # over-cap simhash buckets emit hub star links (prefilter passes: the
+    # crowd shares the hub's simhash exactly)
+    assert got.get(("g00", "g01")) == "star_simhash"
+    assert got.get(("g00", "z_a")) == "star_simhash"
+    # NO direct crowd-to-crowd pairs: sub-banding (which would have joined
+    # them via the shared phash window 0) must not run for simhash buckets
+    assert ("g01", "g02") not in got
+    assert not any(
+        l.startswith("g") and r.startswith("g") and l != "g00"
+        for (l, r) in got
+    )

@@ -11,6 +11,7 @@ and the fast path never engaged (round-4 verdict finding #2).
 from __future__ import annotations
 
 import glob
+import os
 
 import pyarrow.parquet as pq
 
@@ -25,7 +26,10 @@ def test_fixture_pages_are_gatherable(spark, tmp_path_factory):
 
     files = sorted(glob.glob(out + "/*.parquet"))
     assert files
-    f = files[0]
+    # the largest file: files-per-write (and so pages-per-file) follows the
+    # session's task split, and a tiny file can hold too few pages for the
+    # selectivity assertions below to be non-vacuous
+    f = max(files, key=os.path.getsize)
     pf = pq.ParquetFile(f)
     col = pf.metadata.row_group(0).column(1)
     assert col.path_in_schema == "bytes"
@@ -38,5 +42,9 @@ def test_fixture_pages_are_gatherable(spark, tmp_path_factory):
     assert len(got) == 2 and all(isinstance(b, bytes) for b in got)
     # pages hold a handful of blobs, not ~100: the row-check options are live
     assert n / st.pages_total <= 32
-    # and a 2-row gather decompresses a small fraction of the chunk
-    assert st.bytes_read <= st.bytes_total * 0.35
+    # and a 2-row gather is page-SELECTIVE: at most the 2 pages holding the
+    # requested rows are decompressed, and bytes follow the touched-page
+    # share of the chunk (a fixed fraction would be parallelism-dependent —
+    # this failed at 4 pages/file where 2 touched pages are 46% of bytes)
+    assert st.pages_read <= 2 < st.pages_total
+    assert st.bytes_read <= st.bytes_total * (st.pages_read / st.pages_total) * 1.6
