@@ -194,6 +194,70 @@ def _scale_worker(fixture_path: str, cores: int) -> None:
                       "gather": result.metrics.get("gather")}))
 
 
+def _append_delta_worker(fixture_path: str, start: int, n_rows: int) -> None:
+    """Append rows [start, start+n_rows) of the deterministic sequence to an
+    existing scaling fixture — the daily-append input shape for the
+    incremental-resume demo (existing part files untouched)."""
+    from dupion_spark.session import get_spark
+    from dupion_spark.sources.synth_spark import append_scaling_delta
+
+    spark = get_spark("dupion_delta_gen", cores=8, shuffle_partitions=8)
+    append_scaling_delta(spark, fixture_path, start, n_rows)
+    spark.stop()
+
+
+def _resume_worker(fixture_path: str, ckpt_dir: str, cores: int) -> None:
+    """One checkpointed pipeline run (subprocess, fresh JVM): the evidence
+    harness for resume-at-scale. Run once against a cold checkpoint dir for
+    the full-build wall, append a delta (--append-delta), then run again
+    with the SAME checkpoint dir — the per-row incremental resume should
+    reuse every unchanged file's feature rows and prior pair verdicts, and
+    the second wall should be a small fraction of the first. Prints one JSON
+    line with the wall, per-stage walls, and the reuse lineage counters
+    (features.rows_reused / rows_recomputed, verified_edges.pairs_reused /
+    pairs_verified)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from dupion_spark.pipeline import run_pipeline
+    from dupion_spark.session import get_spark
+
+    scratch = f"/dev/shm/dupion_resume_{cores}"
+    os.makedirs(scratch, exist_ok=True)
+    spark = get_spark(
+        f"dupion_resume_{cores}", cores=cores,
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SCALE_PARTS", "128")),
+        extra_conf={"spark.local.dir": scratch},
+    )
+    images = spark.read.parquet(fixture_path)
+    n = images.count()
+    cfg = _cfg_from_env()
+    start = _time.time()
+    result = run_pipeline(
+        spark, images, cfg, source_path=fixture_path, checkpoint_dir=ckpt_dir
+    )
+    _force(result.clusters)
+    _force(result.canonical)
+    elapsed = _time.time() - start
+    reuse = {
+        f"{r['stage']}.{r['part_key']}": int(r["rows_out"])
+        for r in result.lineage.filter(
+            F.col("part_key").isin(
+                "rows_reused", "rows_recomputed", "pairs_reused", "pairs_verified"
+            )
+        ).collect()
+    }
+    stages = {s: v["wall_ms"] / 1000.0
+              for s, v in result.metrics["stages"].items()}
+    resumed = [s for s, v in result.metrics["stages"].items() if v["resumed"]]
+    spark.stop()
+    print(json.dumps({
+        "cores": cores, "sec": round(elapsed, 2), "n_images": n,
+        "stages": stages, "stages_resumed_valid": resumed, "reuse": reuse,
+    }))
+
+
 def _check_planted_worker(fixture_path: str) -> None:
     """Recall/precision gate at scale: the scaling fixture plants, per
     100-row block (sources/synth_spark.py): rows {0,1} an exact byte-dup
@@ -386,6 +450,12 @@ def main() -> None:
         return
     if len(sys.argv) >= 3 and sys.argv[1] == "--check-planted":
         _check_planted_worker(sys.argv[2])
+        return
+    if len(sys.argv) >= 5 and sys.argv[1] == "--append-delta":
+        _append_delta_worker(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+        return
+    if len(sys.argv) >= 5 and sys.argv[1] == "--resume-worker":
+        _resume_worker(sys.argv[2], sys.argv[3], int(sys.argv[4]))
         return
     if len(sys.argv) >= 4 and sys.argv[1] == "--gen-doc-fixture":
         _gen_doc_fixture_worker(sys.argv[2], int(sys.argv[3]))

@@ -88,6 +88,38 @@ def _make_row(i: int, seed: int, cfg: DedupConfig) -> dict:
     }
 
 
+def append_scaling_delta(
+    spark: SparkSession,
+    out_path: str,
+    start: int,
+    n_rows: int,
+    seed: int = 42,
+    cfg: DedupConfig | None = None,
+) -> None:
+    """Append rows [start, start+n_rows) of the SAME deterministic sequence
+    as additional parquet part files — the daily-append shape the per-row
+    incremental resume exists for. mode=append leaves every existing part
+    file untouched, so their (size, mtime_ns) fingerprints stay valid and
+    the resume path (pipeline.run_pipeline/_features) reuses their feature
+    rows; only the new files are decoded. image_ids continue the s%010d
+    sequence, disjoint from [0, start)."""
+    cfg = cfg or DedupConfig()
+    base = spark.range(start, start + n_rows).repartition(4)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame([_make_row(int(i), seed, cfg) for i in pdf["id"]])
+
+    (
+        base.mapInPandas(gen, IMAGE_SCHEMA).write.mode("append")
+        .option("parquet.enable.dictionary", "false")
+        .option("parquet.page.size", str(256 * 1024))
+        .option("parquet.page.size.row.check.min", "2")
+        .option("parquet.page.size.row.check.max", "32")
+        .parquet(out_path)
+    )
+
+
 def generate_scaling_fixture(
     spark: SparkSession,
     out_path: str,

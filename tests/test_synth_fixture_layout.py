@@ -48,3 +48,45 @@ def test_fixture_pages_are_gatherable(spark, tmp_path_factory):
     # this failed at 4 pages/file where 2 touched pages are 46% of bytes)
     assert st.pages_read <= 2 < st.pages_total
     assert st.bytes_read <= st.bytes_total * (st.pages_read / st.pages_total) * 1.6
+
+
+def test_append_delta_extends_sequence_without_touching_existing(
+    spark, tmp_path_factory
+):
+    """append_scaling_delta is the daily-append input shape for the
+    incremental-resume demo: rows [start, start+n) of the SAME deterministic
+    sequence land in NEW part files, existing part files keep their
+    (size, mtime_ns) fingerprints — the exact per-file validity the per-row
+    resume (pipeline._features) keys row reuse on."""
+    from dupion_spark.sources.checkpoint import file_fingerprints
+    from dupion_spark.sources.synth_spark import append_scaling_delta
+
+    out = str(tmp_path_factory.mktemp("fixture") / "imgs")
+    generate_scaling_fixture(spark, out, 300)
+    before = file_fingerprints(out)
+
+    append_scaling_delta(spark, out, 300, 100)
+    after = file_fingerprints(out)
+
+    # every pre-existing file is byte- and mtime-identical
+    assert all(after[f] == fp for f, fp in before.items())
+    new_files = set(after) - set(before)
+    assert new_files
+
+    df = spark.read.parquet(out)
+    ids = [r["image_id"] for r in df.select("image_id").collect()]
+    assert len(ids) == 400 and len(set(ids)) == 400
+    assert sorted(ids) == [f"s{i:010d}" for i in range(400)]
+
+    # delta rows are the same rows a from-scratch 400-row fixture generates
+    # (content depends only on (seed, i), never on which write emitted it)
+    ref_dir = str(tmp_path_factory.mktemp("fixture_ref") / "imgs")
+    ref = generate_scaling_fixture(spark, ref_dir, 400)
+    got = {r["image_id"]: r for r in df.collect()}
+    want = {r["image_id"]: r for r in ref.collect()}
+    assert all(
+        got[k]["bytes"] == want[k]["bytes"]
+        and got[k]["caption"] == want[k]["caption"]
+        and got[k]["phash"] == want[k]["phash"]
+        for k in want
+    )
