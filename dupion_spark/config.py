@@ -87,6 +87,13 @@ class DedupConfig:
     # adversarial mega-crowds where quadratic work is genuinely unpayable);
     # that residual exposure stays observable per run via the
     # star_only_pairs lineage metric.
+    # The comparison-cost bound above holds only when the hamming prefilter
+    # thins the survivors: a crowd of EXACT-SIGNATURE twins passes the
+    # prefilter wholesale, so C(n,2) pairs would reach VERIFY (measured: a
+    # planted 3,000-twin crowd at 300k emitted 4.5M candidates, 19.5 min).
+    # candidate_pairs therefore collapses identical-(phash,simhash) members
+    # to one delegate (hamming-0 'sig_twin' star edges, linear) BEFORE the
+    # window applies — the window only ever sees distinct signatures.
     sub_allpairs_max: int = 4096
 
     # --- sampled hot-key detection (pixel buckets, large corpora only) -------

@@ -274,7 +274,19 @@ def candidate_pairs(
     bits within 1 flip — fall back to hub star links, labeled star_pixel so
     the exposed population is countable per run (the star_only_pairs
     lineage metric). Cost stays linear in members: 68 sub-rows per over-cap
-    member, emitted only for the over-cap slice."""
+    member, emitted only for the over-cap slice.
+
+    Before sub-banding, over-cap members sharing an IDENTICAL
+    (phash, simhash) collapse to one min-rep_id DELEGATE with hamming-0
+    'sig_twin' edges to the other twins (linear): twins are
+    indistinguishable to every banding decision — every bucket, probe, and
+    sub-window holds all of them or none — and without the collapse a twin
+    crowd inside the all-pairs window pays C(n,2) VERIFY pairs the hamming
+    prefilter cannot thin (twins pass it by definition; measured: a planted
+    3,000-twin crowd at 300k emitted 4.5M candidates and a 19.5-minute
+    pairs wall). The 68 sub-rows are emitted per DELEGATE, so a
+    million-twin crowd costs one sub-banding participant plus one linear
+    star pass."""
     # Guard: when the band table was built on the LONG surrogate sid (see
     # band_table), downstream verify/CC join on STRING image_id — emitting
     # long pairs without an id_map would make every downstream inner join
@@ -466,11 +478,49 @@ def candidate_pairs(
     # checkpoint the DISTINCT MEMBER set (tiny), not the 72x-exploded sub
     # table — each consumer re-explodes from the cached members (parallel,
     # cheap) instead of reading a multi-hundred-MB checkpointed RDD
-    members = (
+    members_all = (
         big.filter((~is_caption) & (~is_simhash_key))
         .select("rep_id", "phash", "simhash")
         .distinct()
+        .localCheckpoint(eager=False)  # consumers: sig_groups agg, twin join
+    )
+    # EXACT-SIGNATURE TWIN COLLAPSE. Members sharing an IDENTICAL
+    # (phash, simhash) are indistinguishable to every banding decision —
+    # every bucket/probe/sub-window either holds all of them or none — so
+    # running them all through sub-banding is pure redundancy, and the
+    # all-pairs window below would pay C(n,2) VERIFY pairs for a crowd the
+    # hamming prefilter cannot thin (twins pass it by definition). That trap
+    # is real, not hypothetical: a planted 3,000-twin mega-crowd at 300k fit
+    # inside sub_allpairs_max and emitted 4.5M verified candidates (19.5 min
+    # pairs wall) before this collapse. Post-collapse: one min-rep_id
+    # delegate per signature enters sub-banding; the other twins attach by
+    # hamming-0 delegate edges ('sig_twin', linear). The label sorts between
+    # the direct labels ('minhash'/'pixel') and 'star_*', so a twin pair
+    # that also has direct band provenance keeps its direct label under the
+    # min-agg, and twin edges are never miscounted by the star_only_pairs
+    # metric — at hamming 0 the star-recall caveat does not apply (the only
+    # residual is a phash+simhash 128-bit double collision of genuinely
+    # dissimilar images failing verify against the delegate; verify stays
+    # authoritative either way).
+    sig_groups = (
+        members_all.groupBy("phash", "simhash")
+        .agg(F.min("rep_id").alias("_dg"), F.count(F.lit(1)).alias("_dn"))
+        .localCheckpoint(eager=False)  # consumers: delegates + twin stars
+    )
+    members = (
+        sig_groups.select(F.col("_dg").alias("rep_id"), "phash", "simhash")
         .localCheckpoint(eager=False)  # consumers: sub_hot, anti, star join
+    )
+    twin_star = (
+        members_all.join(
+            sig_groups.filter(F.col("_dn") > 1), ["phash", "simhash"]
+        )
+        .filter(F.col("rep_id") != F.col("_dg"))
+        .select(
+            F.col("_dg").alias("id_l"),
+            F.col("rep_id").alias("id_r"),
+            F.lit("sig_twin").alias("band_src"),
+        )
     )
     sub = members.select(
         "rep_id", "phash", "simhash",
@@ -528,6 +578,7 @@ def candidate_pairs(
     pairs = (
         small_pairs.unionByName(caption_star)
         .unionByName(simhash_star)
+        .unionByName(twin_star)
         .unionByName(sub_pairs)
         .unionByName(sub_star)
         .groupBy("id_l", "id_r")

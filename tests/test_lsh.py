@@ -339,6 +339,51 @@ def test_mega_crowd_still_falls_back_to_stars(spark):
     assert got.get(("f00", "f01")) == "star_pixel"
 
 
+# --- exact-signature twin collapse (round-5: the 300k quadratic-verify trap) -
+def test_twin_crowd_emits_linear_sig_twin_edges(spark):
+    """A crowd of n members with IDENTICAL (phash, simhash) — the planted
+    mega-cluster shape — must emit n-1 hamming-0 'sig_twin' delegate edges,
+    never C(n,2) all-pairs: twins pass the hamming prefilter wholesale, so
+    without the collapse a quadratic candidate set goes straight to
+    decode-cost verify (measured pre-fix at 300k: the planted 3,000-twin
+    crowd fit inside sub_allpairs_max and emitted 4,515,182 candidates,
+    a 19.5-minute pairs wall)."""
+    n = 40
+    ph = _phash(0x1234, 0x5555, 0x6666, 0x7777)
+    sh = _signed(0x0123_4567_89AB_CDEF)
+    rows = [
+        (f"t{i:02d}", 64, 64,
+         [5_000_000 + i * 64 + j for j in range(64)], sh, ph)
+        for i in range(n)
+    ]
+    cfg = DedupConfig(max_band_bucket=16)
+    sigs = spark.createDataFrame(rows, SIG_SCHEMA)
+    got = lsh.candidate_pairs(lsh.band_table(sigs, cfg), cfg).collect()
+    # delegate (min rep_id) -> every other twin, linear, and NOTHING else:
+    # no C(n,2) leak through the all-pairs window or any star path
+    assert sorted((r["id_l"], r["id_r"]) for r in got) == [
+        ("t00", f"t{i:02d}") for i in range(1, n)
+    ]
+    # the hamming-0 twin label wins the provenance min-agg over star_* (so
+    # these edges never inflate the star_only_pairs exposure metric)
+    assert {r["band_src"] for r in got} == {"sig_twin"}
+
+
+def test_twin_collapse_keeps_distinct_signature_crowds_intact(spark):
+    """The collapse keys on EXACT (phash, simhash): the double-saturation
+    crowd (identical phash, distinct simhash) must not collapse, and the
+    planted far-from-hub pair keeps its direct all-pairs edge exactly as in
+    test_double_saturated_pair_keeps_direct_edge."""
+    cfg = DedupConfig(max_band_bucket=16)
+    sigs = spark.createDataFrame(_saturated_rows(), SIG_SCHEMA)
+    got = {
+        (r["id_l"], r["id_r"]): r["band_src"]
+        for r in lsh.candidate_pairs(lsh.band_table(sigs, cfg), cfg).collect()
+    }
+    assert got.get(("y_a", "y_b")) == "pixel"
+    assert "sig_twin" not in set(got.values())
+
+
 # --- simhash over-cap routing (round-5: the 1.2M pairs-wall fix) -----------
 # A crowd sharing one IDENTICAL 64-bit simhash (smooth-image clumping) but
 # pairwise-far phashes saturates every simhash band bucket. Pre-fix those
