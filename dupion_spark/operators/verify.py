@@ -204,8 +204,20 @@ def verified_edges(
         F.col("caption").alias("caption_r"),
     )
     verify = make_verify_udf(cfg)
+    # MERGE hints pin both payload joins to sort-merge — the plan the header
+    # docstring promises. Without them the static planner sizes the gather
+    # mapInPandas output from its LOCATOR input (a few MB of ids+offsets),
+    # decides the blob-bearing payload side is the smaller relation, and
+    # broadcasts it: building that broadcast collects every candidate blob to
+    # the driver (measured at 300k: 16 tasks x ~83 MB of payload rows blew
+    # spark.driver.maxResultSize at 1 GiB and killed the checkpointed run).
+    # SMJ shuffles each side by id, sorts, and spills — no driver collect at
+    # any candidate volume; the sort cost is noise next to decode in verify.
+    # AQE preserves user join hints when it replans, so the runtime can't
+    # re-introduce the broadcast from the same misestimate.
     return (
-        pairs.join(left, "id_l").join(right, "id_r")
+        pairs.join(left.hint("merge"), "id_l")
+        .join(right.hint("merge"), "id_r")
         .withColumn(
             "_v",
             verify(

@@ -65,3 +65,33 @@ def test_worker_side_verify_matches_dataframe_path(spark, images_df, source_dir)
     assert gm, "gather metrics missing from lineage"
     assert 0 < gm["gather_bytes_read"] <= gm["gather_bytes_total"]
     assert gm["gather_pages_read"] <= gm["gather_pages_total"]
+
+
+def test_payload_joins_never_broadcast_blob_side(spark, images_df):
+    """The two payload joins in verified_edges must plan as sort-merge, never
+    as a broadcast of the blob-bearing payload side. The static planner sizes
+    a mapInPandas gather output from its locator INPUT (a few MB), so without
+    the merge hints it broadcast the payload — collecting every candidate
+    blob to the driver (measured at 300k: 16 tasks x ~83 MB of payload rows
+    blew spark.driver.maxResultSize at 1 GiB and killed the checkpointed
+    resume run). The hint must survive into the executed plan: AQE preserves
+    user join hints when it replans."""
+    from pyspark.sql import functions as F
+
+    from dupion_spark.operators import verify
+
+    cfg = DedupConfig()
+    ids = [r["image_id"] for r in images_df.select("image_id").limit(40).collect()]
+    pairs = spark.createDataFrame(
+        [(a, b, "pixel") for a, b in zip(ids[::2], ids[1::2])],
+        "id_l string, id_r string, band_src string",
+    )
+    edges = verify.verified_edges(pairs, images_df, cfg)
+    plan = edges._jdf.queryExecution().executedPlan().toString()
+    # both payload joins present as sort-merge; the blob side is never a
+    # broadcast build (the endpoint SEMI-join staying broadcast is fine and
+    # expected — it carries ids only, never bytes)
+    assert plan.count("SortMergeJoin") >= 2, plan
+    for line in plan.splitlines():
+        if "BroadcastHashJoin" in line:
+            assert "LeftSemi" in line, f"payload join broadcast a blob side: {line}"
