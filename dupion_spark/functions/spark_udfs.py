@@ -76,16 +76,10 @@ def make_pixel_signature_udf(cfg: DedupConfig):
 
     @F.pandas_udf(schema)
     def pixel_signature(data: pd.Series) -> pd.DataFrame:
-        simhashes, phashes = [], []
-        for blob in data:
-            pixels = codec.try_decode_image(bytes(blob))
-            if pixels is None:
-                simhashes.append(None)
-                phashes.append(None)
-                continue
-            sh, ph = signatures.pixel_signatures(pixels, cfg)
-            simhashes.append(sh)
-            phashes.append(ph)
+        decoded = [codec.try_decode_image(bytes(blob)) for blob in data]
+        # same-shape stacks, bit-identical to the per-image path (parity
+        # tests in tests/test_signatures.py)
+        simhashes, phashes = signatures.pixel_signatures_batch(decoded, cfg)
         return pd.DataFrame(
             {
                 "simhash": pd.array(simhashes, dtype="Int64"),

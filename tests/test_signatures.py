@@ -144,3 +144,57 @@ def test_lcs_known_values():
     assert _lcs_length("xyz", "abc") == 0
     # asymmetric lengths exercise the build-on-shorter swap
     assert _lcs_length("needle", "hay needle hay" * 50) == len("needle")
+
+
+# --- batched signatures: bit-parity with the per-image path ------------------
+
+def test_batch_matches_per_image():
+    """pixel_signatures_batch must be BIT-IDENTICAL to pixel_signatures for
+    every image: the feature stage (operators/features.py) batches, while the
+    synth planted-truth generator, archive source, and DataFrame fallback
+    path hash per image — any divergence silently shifts LSH band keys."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dupion_spark.functions.signatures import (
+        pixel_signatures,
+        pixel_signatures_batch,
+    )
+
+    shapes = st.tuples(
+        st.integers(1, 40), st.integers(1, 40), st.sampled_from([0, 1, 3])
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.tuples(shapes, st.integers(0, 2**32 - 1)), max_size=12))
+    def check(specs):
+        rngs = [np.random.default_rng(seed) for _, seed in specs]
+        imgs = []
+        for ((h, w, c), _), rng in zip(specs, rngs):
+            shape = (h, w) if c == 0 else (h, w, c)
+            imgs.append(rng.integers(0, 256, shape, dtype=np.uint8))
+        imgs.append(None)  # F4 row: stays None in both outputs
+        sh_b, ph_b = pixel_signatures_batch(imgs, CFG)
+        for img, sh, ph in zip(imgs, sh_b, ph_b):
+            if img is None:
+                assert sh is None and ph is None
+            else:
+                assert (sh, ph) == pixel_signatures(img, CFG)
+
+    check()
+
+
+def test_batch_same_shape_crowd_and_chunk_boundary():
+    """Same-shape stacks cross the _SIG_BATCH_CHUNK boundary; smooth images
+    exercise median/threshold tie-handling."""
+    from dupion_spark.functions import signatures as S
+
+    rng = np.random.default_rng(9)
+    imgs = [
+        rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+        for _ in range(S._SIG_BATCH_CHUNK * 2 + 3)
+    ]
+    imgs += [np.full((24, 24, 3), v, dtype=np.uint8) for v in (0, 7, 255)]
+    sh_b, ph_b = S.pixel_signatures_batch(imgs, CFG)
+    for img, sh, ph in zip(imgs, sh_b, ph_b):
+        assert (sh, ph) == S.pixel_signatures(img, CFG)
