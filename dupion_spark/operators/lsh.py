@@ -397,6 +397,24 @@ def candidate_pairs(
         )
     )
 
+    # ADAPTIVE BRANCH ELISION on the materialized hot statistic: which of the
+    # three over-cap classes actually occur this run. `hot` is tiny (hot keys
+    # only) and already checkpointed, so this is one sub-second driver-side
+    # aggregation — the AQE idiom (plan from runtime stats) applied at the
+    # orchestration level. Without it, every run pays shuffle-stage
+    # round-trips for all five fallback branches (caption/simhash stars, twin
+    # collapse, sub-banding + sub-stars, each behind its own localCheckpoint
+    # materialization) even when the over-cap population is EMPTY — measured
+    # ~3s of the 6.3s pairs wall at sf0.1 (6k images, zero hot buckets),
+    # pure fixed overhead the scaling gate's small legs also pay. Output is
+    # identical: an elided branch contributes zero rows by construction.
+    hot_is_simhash = F.col("band_key").bitwiseAND(F.lit(SIMHASH_BIT)) != 0
+    hot_classes = hot.agg(
+        F.count(F.when(is_caption, 1)).alias("n_capt"),
+        F.count(F.when((~is_caption) & hot_is_simhash, 1)).alias("n_sim"),
+        F.count(F.when((~is_caption) & ~hot_is_simhash, 1)).alias("n_pix"),
+    ).collect()[0]
+
     big = bands.join(hot, "band_key")
 
     # caption over-cap buckets: star links to the hub, hub-hamming filtered
@@ -414,18 +432,20 @@ def candidate_pairs(
     # its ONLY provenance is hub-star links — the exact population exposed
     # to the documented star-recall caveat, countable for free from the
     # pair/edge tables (no extra jobs).
-    caption_star = (
-        big.filter(is_caption)
-        .filter(F.col("rep_id") != F.col("_hub"))
-        .filter(_hamming_ok(F.col("_hub_ph"), F.col("_hub_sh"),
-                            F.col("phash"), F.col("simhash"), cfg,
-                            ph_limit=ph_limit))
-        .select(
-            F.col("_hub").alias("id_l"),
-            F.col("rep_id").alias("id_r"),
-            F.lit("star_minhash").alias("band_src"),
+    branches = [small_pairs]
+    if hot_classes["n_capt"]:
+        branches.append(
+            big.filter(is_caption)
+            .filter(F.col("rep_id") != F.col("_hub"))
+            .filter(_hamming_ok(F.col("_hub_ph"), F.col("_hub_sh"),
+                                F.col("phash"), F.col("simhash"), cfg,
+                                ph_limit=ph_limit))
+            .select(
+                F.col("_hub").alias("id_l"),
+                F.col("rep_id").alias("id_r"),
+                F.lit("star_minhash").alias("band_src"),
+            )
         )
-    )
 
     # simhash over-cap buckets: hub STAR links, same shape and same recall
     # argument as the caption path — simhash carries no recall obligation
@@ -441,18 +461,19 @@ def candidate_pairs(
     is_simhash_key = (~is_caption) & (
         F.col("band_key").bitwiseAND(F.lit(SIMHASH_BIT)) != 0
     )
-    simhash_star = (
-        big.filter(is_simhash_key)
-        .filter(F.col("rep_id") != F.col("_hub"))
-        .filter(_hamming_ok(F.col("_hub_ph"), F.col("_hub_sh"),
-                            F.col("phash"), F.col("simhash"), cfg,
-                            ph_limit=ph_limit))
-        .select(
-            F.col("_hub").alias("id_l"),
-            F.col("rep_id").alias("id_r"),
-            F.lit("star_simhash").alias("band_src"),
+    if hot_classes["n_sim"]:
+        branches.append(
+            big.filter(is_simhash_key)
+            .filter(F.col("rep_id") != F.col("_hub"))
+            .filter(_hamming_ok(F.col("_hub_ph"), F.col("_hub_sh"),
+                                F.col("phash"), F.col("simhash"), cfg,
+                                ph_limit=ph_limit))
+            .select(
+                F.col("_hub").alias("id_l"),
+                F.col("rep_id").alias("id_r"),
+                F.lit("star_simhash").alias("band_src"),
+            )
         )
-    )
 
     # pixel over-cap buckets: second-level sub-banding (4 disjoint 16-bit
     # windows offset 8 bits from the band slices, 1-bit multiprobe — see
@@ -464,6 +485,39 @@ def candidate_pairs(
     # (band rows don't carry w/h); cross-shape sub-collisions are junk pairs
     # bounded by the sub-bucket cap and killed by the hamming prefilter /
     # PSNR gate.
+    if hot_classes["n_pix"]:
+        _pixel_overcap_branches(
+            branches, big.filter((~is_caption) & (~is_simhash_key)),
+            cfg, ph_limit,
+        )
+
+    pairs = branches[0]
+    for extra in branches[1:]:
+        pairs = pairs.unionByName(extra)
+    pairs = pairs.groupBy("id_l", "id_r").agg(F.min("band_src").alias("band_src"))
+    if id_map is not None:
+        # restore string ids on the tiny output (AQE broadcasts the map at
+        # this scale; at corpus scale this is a candidate-proportional join)
+        ml = id_map.select(F.col("sid").alias("id_l"), F.col("rep_id").alias("_l"))
+        mr = id_map.select(F.col("sid").alias("id_r"), F.col("rep_id").alias("_r"))
+        pairs = (
+            pairs.join(ml, "id_l").join(mr, "id_r")
+            .select(
+                F.least("_l", "_r").alias("id_l"),
+                F.greatest("_l", "_r").alias("id_r"),
+                "band_src",
+            )
+        )
+    return pairs
+
+
+def _pixel_overcap_branches(
+    branches: list, overcap_rows: DataFrame, cfg: DedupConfig, ph_limit: int
+) -> None:
+    """Append the pixel over-cap cascade branches (twin collapse, sub-band
+    all-pairs, sub-star fallback) to `branches`. Split out of candidate_pairs
+    so the whole cascade is built ONLY when the hot statistic says pixel
+    over-cap buckets exist this run (see the branch-elision comment there)."""
     sub_keys = []
     for sub in range(4):
         lo = F.shiftrightunsigned(F.col("phash"), sub * 16 + 8).bitwiseAND(
@@ -479,7 +533,7 @@ def candidate_pairs(
     # table — each consumer re-explodes from the cached members (parallel,
     # cheap) instead of reading a multi-hundred-MB checkpointed RDD
     members_all = (
-        big.filter((~is_caption) & (~is_simhash_key))
+        overcap_rows
         .select("rep_id", "phash", "simhash")
         .distinct()
         .localCheckpoint(eager=False)  # consumers: sig_groups agg, twin join
@@ -511,7 +565,7 @@ def candidate_pairs(
         sig_groups.select(F.col("_dg").alias("rep_id"), "phash", "simhash")
         .localCheckpoint(eager=False)  # consumers: sub_hot, anti, star join
     )
-    twin_star = (
+    branches.append(
         members_all.join(
             sig_groups.filter(F.col("_dn") > 1), ["phash", "simhash"]
         )
@@ -543,7 +597,7 @@ def candidate_pairs(
     )
     sub_small = sub.join(sub_hot.select("sub_key"), "sub_key", "left_anti")
     ssl, ssr = sub_small.alias("sl"), sub_small.alias("sr")
-    sub_pairs = (
+    branches.append(
         ssl.hint("SHUFFLE_HASH").join(ssr, F.col("sl.sub_key") == F.col("sr.sub_key"))
         .filter(F.col("sl.rep_id") < F.col("sr.rep_id"))
         .filter(_hamming_ok(F.col("sl.phash"), F.col("sl.simhash"),
@@ -562,7 +616,7 @@ def candidate_pairs(
     # >prefilter bits from its sub-hub losing its only direct edge — now
     # requires that mega-crowd saturation and stays countable per run via
     # the star_only_pairs lineage metric (see candidate_pairs docstring)
-    sub_star = (
+    branches.append(
         sub.join(sub_hot, "sub_key")
         .filter(F.col("rep_id") != F.col("_shub"))
         .filter(_hamming_ok(F.col("_shub_ph"), F.col("_shub_sh"),
@@ -574,27 +628,3 @@ def candidate_pairs(
             F.lit("star_pixel").alias("band_src"),
         )
     )
-
-    pairs = (
-        small_pairs.unionByName(caption_star)
-        .unionByName(simhash_star)
-        .unionByName(twin_star)
-        .unionByName(sub_pairs)
-        .unionByName(sub_star)
-        .groupBy("id_l", "id_r")
-        .agg(F.min("band_src").alias("band_src"))
-    )
-    if id_map is not None:
-        # restore string ids on the tiny output (AQE broadcasts the map at
-        # this scale; at corpus scale this is a candidate-proportional join)
-        ml = id_map.select(F.col("sid").alias("id_l"), F.col("rep_id").alias("_l"))
-        mr = id_map.select(F.col("sid").alias("id_r"), F.col("rep_id").alias("_r"))
-        pairs = (
-            pairs.join(ml, "id_l").join(mr, "id_r")
-            .select(
-                F.least("_l", "_r").alias("id_l"),
-                F.greatest("_l", "_r").alias("id_r"),
-                "band_src",
-            )
-        )
-    return pairs
