@@ -240,7 +240,7 @@ def candidate_pairs(
     are impure and their pairs can never pass the pixel-authoritative verify.
 
     SIMHASH over-cap buckets: hub STAR links too — simhash is a diversity
-    source with no recall obligation (see the simhash_star comment below for
+    source with no recall obligation (see the simhash-star comment below for
     the full argument and the measured 1.2M cost of sub-banding them).
 
     PHASH over-cap buckets: RECURSIVE SUB-BANDING, because star links cannot
