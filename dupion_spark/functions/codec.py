@@ -8,8 +8,9 @@ plumbing (binary columns, Arrow batches, pandas-UDF signatures) is identical to
 what a real decoder would use. `decode_image` dispatches real magic as:
 real PNG -> Pillow if importable, else the pure numpy+zlib decoder in
 functions/png.py; real JPEG -> Pillow if importable, else the pure numpy
-baseline T.81 decoder in functions/jpeg.py — both real formats are
-first-class in THIS container, not gated.
+baseline T.81 decoder in functions/jpeg.py; real GIF -> functions/gif.py
+(LZW + palette); real BMP -> functions/bmp.py (BI_RGB 8/24/32-bit) — all
+four real formats are first-class in THIS container, not gated.
 
 Formats (all little-endian):
   lossless: b"DPNG" u16 h u16 w u8 c  zlib(raw HxWxC uint8)
@@ -72,7 +73,12 @@ def decode_image(data: bytes) -> np.ndarray:
         quantized = np.frombuffer(zlib.decompress(data[10:]), dtype=np.uint8)
         restored = quantized.astype(np.uint16) * step + step // 2
         return np.minimum(restored, 255).astype(np.uint8).reshape(h, w, c)
-    if data[:8] == b"\x89PNG\r\n\x1a\n" or data[:3] == b"\xff\xd8\xff":
+    if (
+        data[:8] == b"\x89PNG\r\n\x1a\n"
+        or data[:3] == b"\xff\xd8\xff"
+        or data[:6] in (b"GIF87a", b"GIF89a")
+        or data[:2] == b"BM"
+    ):
         if _HAVE_PIL:  # pragma: no cover - not available in this container
             import io
 
@@ -85,12 +91,22 @@ def decode_image(data: bytes) -> np.ndarray:
             from dupion_spark.functions.png import decode_real_png
 
             return decode_real_png(data)
-        # real JPEG decodes WITHOUT Pillow too: pure numpy baseline-sequential
-        # T.81 decoder (functions/jpeg.py) — Pillow (libjpeg-turbo) stays the
-        # preferred path above when importable
-        from dupion_spark.functions.jpeg import decode_real_jpeg
+        if data[:3] == b"\xff\xd8\xff":
+            # real JPEG decodes WITHOUT Pillow too: pure numpy
+            # baseline-sequential T.81 decoder (functions/jpeg.py) — Pillow
+            # (libjpeg-turbo) stays the preferred path above when importable
+            from dupion_spark.functions.jpeg import decode_real_jpeg
 
-        return decode_real_jpeg(data)
+            return decode_real_jpeg(data)
+        if data[:2] == b"BM":
+            # real BMP: BI_RGB 8/24/32-bit (functions/bmp.py)
+            from dupion_spark.functions.bmp import decode_real_bmp
+
+            return decode_real_bmp(data)
+        # real GIF: LZW + palette, first frame (functions/gif.py)
+        from dupion_spark.functions.gif import decode_real_gif
+
+        return decode_real_gif(data)
     raise ValueError(f"unknown image magic: {data[:4]!r}")
 
 

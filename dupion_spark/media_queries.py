@@ -102,12 +102,30 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_codec_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed real-format decode parity: real PNG/JPEG/GIF/BMP re-encodes of
+    shared frames through the engine's canonical pixel-sha pandas UDF
+    (functions/spark_udfs.py). PNG/GIF/BMP of one frame must produce ONE sha
+    (cross-format exact-dup collision, the reference's content-hash semantic
+    over decoded pixels); truncated payloads degrade to NULL (F4)."""
+    from dupion_spark.functions.spark_udfs import make_pixel_sha256_udf
+
+    fdir = _fixture_dir(sf_dir)
+    images = spark.read.parquet(os.path.join(fdir, "codec_images.parquet"))
+    sha = make_pixel_sha256_udf()
+    return images.select(
+        "image_id", "fmt",
+        F.lower(F.hex(sha(F.col("bytes")))).alias("pixel_sha"),
+    )
+
+
 def media_queries() -> dict:
     return {
         "media_audio_features": q_media_audio_features,
         "media_frame_index": q_media_frame_index,
         "media_video_pairs": q_media_video_pairs,
         "media_resize": q_media_resize,
+        "media_codec_formats": q_media_codec_formats,
     }
 
 
@@ -136,6 +154,10 @@ def oracle_sql_for_scale(scale: str) -> dict[str, str]:
         "media_resize": (
             "SELECT image_id, w, h, fmt, payload_sha "
             f"FROM read_parquet('{g('golden_resize')}')"
+        ),
+        "media_codec_formats": (
+            "SELECT image_id, fmt, pixel_sha "
+            f"FROM read_parquet('{g('golden_codec')}')"
         ),
     }
 

@@ -16,6 +16,11 @@ Golden tables:
                      output: |phash-set intersection| >= 2, id_l < id_r
   golden_resize      expected `resize_images(16,16,png)` output with the
                      re-encoded payload's sha256 (undecodable rows dropped)
+  golden_codec       expected pixel-sha output over a MIXED REAL-FORMAT
+                     corpus (real PNG/JPEG/GIF/BMP re-encodes of shared
+                     frames): PNG/GIF/BMP of one frame share the canonical
+                     pixel sha (cross-format exact collision), JPEG differs
+                     (lossy), truncated payloads -> NULL (F4)
 
 Determinism: per-row numpy Generators seeded from the row index, so the
 fixture is reproducible and order-independent. Volume-scaled duplicates use
@@ -36,7 +41,7 @@ import pandas as pd
 from dupion_spark.config import DedupConfig
 from dupion_spark.functions import codec, media, signatures
 
-MEDIA_SYNTH_VERSION = 2
+MEDIA_SYNTH_VERSION = 3
 
 # query-shape constants shared with media_queries.py: golden tables are
 # computed FOR these parameters, so the Spark queries must use the same ones
@@ -51,10 +56,12 @@ class MediaSynthResult:
     audio: pd.DataFrame          # audio_id, bytes
     video: pd.DataFrame          # video_id, bytes
     media_images: pd.DataFrame   # image_id, bytes
+    codec_images: pd.DataFrame   # image_id, fmt, bytes (mixed real formats)
     golden_audio: pd.DataFrame
     golden_frames: pd.DataFrame
     golden_video_pairs: pd.DataFrame
     golden_resize: pd.DataFrame
+    golden_codec: pd.DataFrame
 
 
 # ---------------------------------------------------------------------------
@@ -246,6 +253,50 @@ def _gen_images(n_images: int) -> tuple[pd.DataFrame, pd.DataFrame]:
     return pd.DataFrame(rows), pd.DataFrame(golden)
 
 
+def _gen_codec_images(n_codec: int) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Mixed REAL-format corpus: consecutive 4-row groups are the SAME frame
+    encoded as real PNG / JPEG / GIF / BMP (functions/{png,jpeg,gif,bmp}.py),
+    so PNG/GIF/BMP rows of a group decode bit-identically (one canonical
+    pixel sha) while the JPEG row is a lossy near-dup. Every 10th row is
+    truncated -> NULL sha (F4 degradation). Golden shas replicate
+    functions/spark_udfs.make_pixel_sha256_udf's canonical buffer hash
+    single-process."""
+    from dupion_spark.functions.bmp import encode_real_bmp
+    from dupion_spark.functions.gif import encode_real_gif
+    from dupion_spark.functions.jpeg import encode_real_jpeg
+    from dupion_spark.functions.png import encode_real_png
+
+    encoders = [("png", encode_real_png), ("jpeg", encode_real_jpeg),
+                ("gif", encode_real_gif), ("bmp", encode_real_bmp)]
+    rows, golden = [], []
+    for k in range(n_codec):
+        group, variant = divmod(k, 4)
+        iid = f"cimg{k:06d}"
+        rng = np.random.default_rng(24_000_000 + group)
+        h = int(rng.integers(20, 48))
+        w = int(rng.integers(20, 48))
+        coarse = rng.integers(16, 240, size=(max(4, h // 4), max(4, w // 4), 3))
+        up = np.repeat(np.repeat(coarse, 4, axis=0), 4, axis=1)[:h, :w, :]
+        # 32-step quantization keeps the palette GIF-safe (<=256 colors)
+        pixels = (up // 32 * 32).astype(np.uint8)
+        fmt, enc = encoders[variant]
+        blob = enc(pixels)
+        if k % 10 == 9:  # truncated payload: undecodable, NULL sha
+            rows.append({"image_id": iid, "fmt": fmt,
+                         "bytes": blob[: len(blob) // 2]})
+            golden.append({"image_id": iid, "fmt": fmt, "pixel_sha": None})
+            continue
+        rows.append({"image_id": iid, "fmt": fmt, "bytes": blob})
+        decoded = codec.decode_image(blob)
+        dh, dw, dc = decoded.shape
+        hasher = hashlib.sha256()
+        hasher.update(f"{dh}x{dw}x{dc}:".encode())
+        hasher.update(decoded.tobytes())
+        golden.append({"image_id": iid, "fmt": fmt,
+                       "pixel_sha": hasher.hexdigest()})
+    return pd.DataFrame(rows), pd.DataFrame(golden)
+
+
 # ---------------------------------------------------------------------------
 # generate + materialize
 # ---------------------------------------------------------------------------
@@ -255,8 +306,11 @@ def generate_media(n_audio: int, n_video: int, n_images: int,
     audio, golden_audio, _ = _gen_audio(n_audio)
     video, golden_frames, golden_pairs = _gen_video(n_video, cfg)
     images, golden_resize = _gen_images(n_images)
-    return MediaSynthResult(audio, video, images, golden_audio,
-                            golden_frames, golden_pairs, golden_resize)
+    n_codec = max(12, (n_images // 2) // 4 * 4)
+    codec_images, golden_codec = _gen_codec_images(n_codec)
+    return MediaSynthResult(audio, video, images, codec_images, golden_audio,
+                            golden_frames, golden_pairs, golden_resize,
+                            golden_codec)
 
 
 def materialize_media(out_dir: str, n_audio: int, n_video: int, n_images: int,
@@ -289,6 +343,9 @@ def materialize_media(out_dir: str, n_audio: int, n_video: int, n_images: int,
         [("video_id", pa.string()), ("bytes", pa.binary())]))
     _write(r.media_images, "media_images", pa.schema(
         [("image_id", pa.string()), ("bytes", pa.binary())]))
+    _write(r.codec_images, "codec_images", pa.schema(
+        [("image_id", pa.string()), ("fmt", pa.string()),
+         ("bytes", pa.binary())]))
     _write(r.golden_audio, "golden_audio", pa.schema(
         [("audio_id", pa.string()), ("duration_s", pa.float64()),
          ("sample_rate", pa.int32()), ("channels", pa.int32()),
@@ -304,5 +361,8 @@ def materialize_media(out_dir: str, n_audio: int, n_video: int, n_images: int,
     _write(r.golden_resize, "golden_resize", pa.schema(
         [("image_id", pa.string()), ("w", pa.int32()), ("h", pa.int32()),
          ("fmt", pa.string()), ("payload_sha", pa.string())]))
+    _write(r.golden_codec, "golden_codec", pa.schema(
+        [("image_id", pa.string()), ("fmt", pa.string()),
+         ("pixel_sha", pa.string())]))
     with open(marker, "w") as f:
         f.write("ok\n")

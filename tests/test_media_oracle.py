@@ -84,3 +84,23 @@ def test_fixture_plants_are_non_vacuous():
     for id_l, id_r in pairs:
         assert gi.loc[id_l, "fingerprint"] == gi.loc[id_r, "fingerprint"]
         assert gi.loc[id_l, "rms"] != gi.loc[id_r, "rms"]
+
+
+def test_codec_fixture_plants_are_non_vacuous():
+    """The mixed real-format corpus must exercise its interesting paths:
+    PNG/GIF/BMP of one frame share the canonical pixel sha, the JPEG of that
+    frame differs (lossy), and truncated rows degrade to NULL."""
+    from dupion_spark.sources import synth_media as SM
+
+    _, golden = SM._gen_codec_images(40)
+    assert golden["pixel_sha"].isna().sum() >= 3  # truncated rows
+    by_group = golden.assign(
+        group=golden["image_id"].str[4:].astype(int) // 4
+    ).dropna(subset=["pixel_sha"])
+    for group, g in by_group.groupby("group"):
+        lossless = g[g["fmt"] != "jpeg"]["pixel_sha"]
+        if len(lossless) >= 2:
+            assert lossless.nunique() == 1, f"group {group} lossless split"
+        jpeg = g[g["fmt"] == "jpeg"]["pixel_sha"]
+        if len(jpeg) and len(lossless):
+            assert jpeg.iloc[0] != lossless.iloc[0], f"group {group} jpeg collided"

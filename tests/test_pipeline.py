@@ -181,3 +181,50 @@ def test_real_codec_reencode_pair_clusters(spark):
     assign = {r["image_id"]: r["cluster_root"] for r in result.clusters.collect()}
     assert assign["real_png"] == assign["real_jpg"]
     assert assign["real_png"] not in {assign[f"uniq{i}"] for i in range(6)}
+
+
+def test_real_codec_four_format_group_clusters(spark):
+    """Mixed real-format corpus end-to-end: the SAME frame as real PNG, GIF,
+    BMP (bit-identical decoded pixels -> one exact group) and real JPEG
+    (PSNR ~47 dB -> near-dup edge) must all land in ONE cluster — the
+    reference's re-encode semantic across every real codec this engine
+    decodes without Pillow (functions/{png,jpeg,gif,bmp}.py)."""
+    import numpy as np
+
+    from dupion_spark.config import DedupConfig
+    from dupion_spark.functions.bmp import encode_real_bmp
+    from dupion_spark.functions.gif import encode_real_gif
+    from dupion_spark.functions.jpeg import encode_real_jpeg
+    from dupion_spark.functions.png import encode_real_png
+    from dupion_spark.functions.signatures import phash64
+    from dupion_spark.streaming.dedup_stream import IMAGE_SCHEMA
+
+    cfg = DedupConfig()
+    rng = np.random.default_rng(21)
+
+    def smooth_quantized():
+        coarse = rng.integers(16, 240, size=(16, 16, 3))
+        up = np.repeat(np.repeat(coarse, 4, 0), 4, 1).astype(np.uint8)
+        return (up // 32 * 32).astype(np.uint8)  # <=256 colors: GIF-safe
+
+    base = smooth_quantized()
+    rows = [
+        ("f_png", bytearray(encode_real_png(base)), 64, 64, "png",
+         "caption a", phash64(base, cfg)),
+        ("f_jpg", bytearray(encode_real_jpeg(base)), 64, 64, "jpeg",
+         "caption b", phash64(base, cfg)),
+        ("f_gif", bytearray(encode_real_gif(base)), 64, 64, "gif",
+         "caption c", phash64(base, cfg)),
+        ("f_bmp", bytearray(encode_real_bmp(base)), 64, 64, "bmp",
+         "caption d", phash64(base, cfg)),
+    ]
+    for i in range(6):
+        px = smooth_quantized()
+        rows.append((f"uniq{i}", bytearray(encode_real_png(px)), 64, 64,
+                     "png", f"caption u{i}", phash64(px, cfg)))
+    images = spark.createDataFrame(rows, IMAGE_SCHEMA)
+    result = run_pipeline(spark, images, cfg)
+    assign = {r["image_id"]: r["cluster_root"] for r in result.clusters.collect()}
+    roots = {assign[k] for k in ("f_png", "f_jpg", "f_gif", "f_bmp")}
+    assert len(roots) == 1, f"four formats split into {roots}"
+    assert roots.pop() not in {assign[f"uniq{i}"] for i in range(6)}
