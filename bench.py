@@ -434,10 +434,19 @@ def scaling_run() -> dict:
     return results
 
 
-def run_media_pipeline(spark, sf_dir: str) -> float:
-    """All four media queries (audio features, frame index, video pairs,
-    resize) end-to-end; fixture materialization is excluded (one-time,
-    cached under data/)."""
+# pinned so the composite stays comparable across rounds — queries added to
+# media_queries() later (e.g. media_codec_formats, r5) time separately
+MEDIA_PIPELINE = [
+    "media_audio_features", "media_frame_index", "media_video_pairs",
+    "media_resize",
+]
+
+
+def run_media_pipeline(spark, sf_dir: str) -> dict[str, float]:
+    """The four original media queries (audio features, frame index, video
+    pairs, resize) as one end-to-end composite, plus each later-added media
+    query timed under its own key; fixture materialization is excluded
+    (one-time, cached under data/)."""
     from dupion_spark import media_queries as MQ
 
     MQ.ensure_oracle_fixture(os.path.basename(sf_dir.rstrip("/")))
@@ -445,10 +454,18 @@ def run_media_pipeline(spark, sf_dir: str) -> float:
     runs = []
     for _ in range(max(BENCH_REPS, 1)):  # warm-min, same as headline/img
         start = time.time()
-        for name in sorted(registry):
+        for name in MEDIA_PIPELINE:
             _force(registry[name](spark, sf_dir))
         runs.append(time.time() - start)
-    return min(runs)
+    out = {"media_pipeline": round(min(runs), 3)}
+    for name in sorted(set(registry) - set(MEDIA_PIPELINE)):
+        solo = []
+        for _ in range(max(BENCH_REPS, 1)):
+            start = time.time()
+            _force(registry[name](spark, sf_dir))
+            solo.append(time.time() - start)
+        out[name] = round(min(solo), 3)
+    return out
 
 
 def main() -> None:
@@ -492,7 +509,7 @@ def main() -> None:
     timings, cold = run_headline(spark, sf_dir)
     img_elapsed, n_images = run_image_pipeline(spark, sf_dir)
     timings["img_pipeline"] = round(img_elapsed, 3)
-    timings["media_pipeline"] = round(run_media_pipeline(spark, sf_dir), 3)
+    timings.update(run_media_pipeline(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
     payload = {
