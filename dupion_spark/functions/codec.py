@@ -9,8 +9,9 @@ what a real decoder would use. `decode_image` dispatches real magic as:
 real PNG -> Pillow if importable, else the pure numpy+zlib decoder in
 functions/png.py; real JPEG -> Pillow if importable, else the pure numpy
 baseline T.81 decoder in functions/jpeg.py; real GIF -> functions/gif.py
-(LZW + palette); real BMP -> functions/bmp.py (BI_RGB 8/24/32-bit) — all
-four real formats are first-class in THIS container, not gated.
+(LZW + palette); real BMP -> functions/bmp.py (BI_RGB 8/24/32-bit); real
+TIFF -> functions/tiff.py (baseline strips, none/PackBits) — all five real
+formats are first-class in THIS container, not gated.
 
 Formats (all little-endian):
   lossless: b"DPNG" u16 h u16 w u8 c  zlib(raw HxWxC uint8)
@@ -78,6 +79,7 @@ def decode_image(data: bytes) -> np.ndarray:
         or data[:3] == b"\xff\xd8\xff"
         or data[:6] in (b"GIF87a", b"GIF89a")
         or data[:2] == b"BM"
+        or data[:4] in (b"II*\x00", b"MM\x00*")
     ):
         if _HAVE_PIL:  # pragma: no cover - not available in this container
             import io
@@ -103,6 +105,11 @@ def decode_image(data: bytes) -> np.ndarray:
             from dupion_spark.functions.bmp import decode_real_bmp
 
             return decode_real_bmp(data)
+        if data[:4] in (b"II*\x00", b"MM\x00*"):
+            # real TIFF: baseline strips, none/PackBits (functions/tiff.py)
+            from dupion_spark.functions.tiff import decode_real_tiff
+
+            return decode_real_tiff(data)
         # real GIF: LZW + palette, first frame (functions/gif.py)
         from dupion_spark.functions.gif import decode_real_gif
 

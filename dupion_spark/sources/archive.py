@@ -122,10 +122,16 @@ def _member_fmt(data: bytes) -> str:
         return "txz"
     if data[:6] == b"7z\xbc\xaf\x27\x1c":
         return "7z"  # exploded iff py7zr is importable (see ARCHIVE_FMTS)
-    if data[:4] == codec.MAGIC_LOSSLESS:
+    if data[:4] == codec.MAGIC_LOSSLESS or data[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
-    if data[:4] == codec.MAGIC_LOSSY:
+    if data[:4] == codec.MAGIC_LOSSY or data[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if data[:2] == b"BM":  # a lying BM prefix degrades via try_decode (F4)
+        return "bmp"
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     return "unknown"
 
 
@@ -168,7 +174,9 @@ def _unpack_rows(parent_id: str, blob: bytes, cfg: DedupConfig) -> list[dict]:
         data = data_by_name[name]
         fmt = _member_fmt(data)
         pixels = (
-            codec.try_decode_image(data) if fmt in ("png", "jpeg") else None
+            codec.try_decode_image(data)
+            if fmt in ("png", "jpeg", "gif", "bmp", "tiff")
+            else None
         )
         if pixels is not None:
             h, w = pixels.shape[:2]

@@ -203,3 +203,30 @@ def test_corrupt_member_and_non_utf8_caption_degrade(spark):
     assert out["arc/broken.png"]["w"] == 0 and out["arc/broken.png"]["phash"] == 0
     assert bytes(out["arc/broken.png"]["bytes"]) == truncated
     assert "arc/ok2.png" in out  # non-UTF-8 caption replaced, row intact
+
+
+def test_zip_member_gif_bmp_exact_group_across_container(spark):
+    """A GIF inside a zip, a BMP inside another zip, and a loose PNG of the
+    SAME frame must land in one exact group — real-format decode (LZW /
+    BI_RGB) composes with the archive source's member explosion."""
+    from dupion_spark.functions.bmp import encode_real_bmp
+    from dupion_spark.functions.gif import encode_real_gif
+
+    rng = np.random.default_rng(11)
+    cfg = DedupConfig()
+    frame = (_img(rng) // 32 * 32).astype(np.uint8)  # GIF-safe palette
+    zip_a = pack_zip([("frame.gif", encode_real_gif(frame), "gif cap")])
+    zip_b = pack_zip([("frame.bmp", encode_real_bmp(frame), "bmp cap")])
+    rows = [
+        ("loosePng", encode_png(frame), 16, 16, "png", "loose", 0),
+        ("zipA", zip_a, 0, 0, "zip", "", 0),
+        ("zipB", zip_b, 0, 0, "zip", "", 0),
+    ]
+    images = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, "
+              "caption string, phash long"
+    )
+    flat, _ = flatten_with_archives(images, cfg)
+    groups = exact.exact_groups(exact.exact_hash_table(flat, cfg)).collect()
+    by_members = [set(g["members"]) for g in groups]
+    assert {"loosePng", "zipA/frame.gif", "zipB/frame.bmp"} in by_members

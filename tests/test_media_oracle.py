@@ -94,8 +94,9 @@ def test_codec_fixture_plants_are_non_vacuous():
 
     _, golden = SM._gen_codec_images(40)
     assert golden["pixel_sha"].isna().sum() >= 3  # truncated rows
+    assert set(golden["fmt"]) == {"png", "jpeg", "gif", "bmp", "tiff"}
     by_group = golden.assign(
-        group=golden["image_id"].str[4:].astype(int) // 4
+        group=golden["image_id"].str[4:].astype(int) // 5
     ).dropna(subset=["pixel_sha"])
     for group, g in by_group.groupby("group"):
         lossless = g[g["fmt"] != "jpeg"]["pixel_sha"]
