@@ -10,7 +10,7 @@ real PNG -> Pillow if importable, else the pure numpy+zlib decoder in
 functions/png.py; real JPEG -> Pillow if importable, else the pure numpy
 baseline T.81 decoder in functions/jpeg.py; real GIF -> functions/gif.py
 (LZW + palette); real BMP -> functions/bmp.py (BI_RGB 8/24/32-bit); real
-TIFF -> functions/tiff.py (baseline strips, none/PackBits) — all five real
+TIFF -> functions/tiff.py (baseline strips, none/LZW/PackBits) — all five real
 formats are first-class in THIS container, not gated.
 
 Formats (all little-endian):
@@ -106,7 +106,7 @@ def decode_image(data: bytes) -> np.ndarray:
 
             return decode_real_bmp(data)
         if data[:4] in (b"II*\x00", b"MM\x00*"):
-            # real TIFF: baseline strips, none/PackBits (functions/tiff.py)
+            # real TIFF: baseline strips, none/LZW/PackBits (functions/tiff.py)
             from dupion_spark.functions.tiff import decode_real_tiff
 
             return decode_real_tiff(data)

@@ -10,7 +10,8 @@ Scope (ValueError / NotImplementedError outside it — the F4 validity path
 degrades such rows to byte-hash handling, never kills the job):
   - decode: first IFD, 8-bit grayscale / RGB / RGBA (extra samples
     dropped) / palette-color, strip layout (any RowsPerStrip), compression
-    1 (none) or 32773 (PackBits), both byte orders, PlanarConfiguration 1
+    1 (none), 5 (LZW, MSB-first with the spec's early code-width change)
+    or 32773 (PackBits), both byte orders, PlanarConfiguration 1
   - encode: little-endian uncompressed 8-bit RGB, single strip (what a
     minimal TIFF writer emits)
 
@@ -75,6 +76,101 @@ def encode_real_tiff(pixels: np.ndarray) -> bytes:
     for tag, typ, count, value in tags:
         out += struct.pack("<HHII", tag, typ, count, value)
     out += struct.pack("<I", 0)  # no next IFD
+    return bytes(out)
+
+
+def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 section 13): MSB-first bit packing,
+    ClearCode 256 / EOI 257, and the spec's EARLY code-width change (width
+    grows when the table reaches 2^width - 1, one code earlier than the
+    GIF variant in functions/gif.py)."""
+    roots = [bytes([i]) for i in range(256)]
+    table = roots + [b"", b""]
+    width = 9
+    out = bytearray()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= n:
+                raise ValueError("TIFF LZW stream truncated")
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        acc &= (1 << nbits) - 1
+        if code == 256:
+            table = roots + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == 257:
+            break
+        if code < len(table):
+            entry = table[code]
+            if not entry:
+                raise ValueError("TIFF LZW code refers to clear/EOI slot")
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("TIFF LZW code out of range")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) - 1 and width < 12:  # early change
+                width += 1
+        prev = entry
+    if len(out) < expected:
+        raise ValueError(f"TIFF LZW short: {len(out)} of {expected}")
+    return bytes(out[:expected])
+
+
+def _lzw_encode_tiff(raw: bytes) -> bytes:
+    """TIFF-variant LZW compressor, in exact lockstep with
+    _lzw_decode_tiff's width schedule (used to synthesize test fixtures)."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def write(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+
+    def reset() -> tuple[dict[bytes, int], int, int]:
+        return {bytes([i]): i for i in range(256)}, 258, 9
+
+    table, next_code, width = reset()
+    write(256, width)
+    buf = b""
+    for b in raw:
+        cand = buf + bytes([b])
+        if cand in table:
+            buf = cand
+            continue
+        write(table[buf], width)
+        if next_code < 4093:  # spec: clear before the table fills
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:  # early change
+                width += 1
+        else:
+            write(256, width)
+            table, next_code, width = reset()
+        buf = bytes([b])
+    if buf:
+        write(table[buf], width)
+    write(257, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
     return bytes(out)
 
 
@@ -155,7 +251,7 @@ def decode_real_tiff(data: bytes) -> np.ndarray:
     if w == 0 or h == 0:
         raise ValueError("TIFF has zero dimension")
     compression = tags.get(_COMPRESSION, [1])[0]
-    if compression not in (1, 32773):
+    if compression not in (1, 5, 32773):
         raise NotImplementedError(f"TIFF compression {compression}")
     if tags.get(_PLANAR_CONFIG, [1])[0] != 1:
         raise NotImplementedError("TIFF planar configuration 2")
@@ -177,6 +273,8 @@ def decode_real_tiff(data: bytes) -> np.ndarray:
             break
         if compression == 32773:
             raster += _packbits_decode(strip, n_rows * row_bytes)
+        elif compression == 5:
+            raster += _lzw_decode_tiff(strip, n_rows * row_bytes)
         else:
             if cnt < n_rows * row_bytes:
                 raise ValueError("TIFF strip short")

@@ -193,16 +193,16 @@ def test_tiff_truncated_or_unsupported_raises():
         decode_real_tiff(data[:20])
     with pytest.raises(ValueError):
         decode_real_tiff(b"II+\x00" + data[4:])
-    lzw = bytearray(data)
-    # flip the COMPRESSION tag value to 5 (LZW): honestly unsupported
+    unsupported = bytearray(data)
+    # flip the COMPRESSION tag value to 7 (JPEG-in-TIFF): honestly unsupported
     ifd_off = struct.unpack("<I", data[4:8])[0]
     n = struct.unpack("<H", data[ifd_off : ifd_off + 2])[0]
     for i in range(n):
         pos = ifd_off + 2 + 12 * i
         if struct.unpack("<H", data[pos : pos + 2])[0] == 259:
-            lzw[pos + 8 : pos + 12] = struct.pack("<I", 5)
+            unsupported[pos + 8 : pos + 12] = struct.pack("<I", 7)
     with pytest.raises(NotImplementedError):
-        decode_real_tiff(bytes(lzw))
+        decode_real_tiff(bytes(unsupported))
 
 
 def test_tiff_dispatches_via_decode_image_and_collides_with_png():
@@ -212,3 +212,52 @@ def test_tiff_dispatches_via_decode_image_and_collides_with_png():
     assert np.array_equal(
         decode_image(encode_real_tiff(px)), decode_image(encode_png(px))
     )
+
+
+# --- LZW (compression 5) ----------------------------------------------------
+
+def test_tiff_lzw_spec_walkthrough_vector():
+    """Hand-derived from the TIFF 6.0 section 13 walkthrough: input
+    7 7 7 8 8 7 7 6 6 encodes (per the spec algorithm) to codes
+    256,7,258,8,8,258,6,6,257 at 9 bits, MSB-first-packed below. Validates
+    the decoder against the spec independent of our own encoder."""
+    from dupion_spark.functions.tiff import _lzw_decode_tiff
+
+    packed = bytes.fromhex("8001E040804408 0C 06 80 80".replace(" ", ""))
+    assert _lzw_decode_tiff(packed, 9) == bytes([7, 7, 7, 8, 8, 7, 7, 6, 6])
+
+
+def test_tiff_lzw_roundtrip_with_early_change():
+    """Enough distinct pairs to push the code width through the EARLY
+    9->10->11 changes (the spec's famous off-by-one vs GIF)."""
+    from dupion_spark.functions.tiff import _lzw_decode_tiff, _lzw_encode_tiff
+
+    rng = np.random.default_rng(9)
+    raw = rng.integers(0, 256, size=6000).astype(np.uint8).tobytes()
+    assert _lzw_decode_tiff(_lzw_encode_tiff(raw), len(raw)) == raw
+
+
+def test_tiff_lzw_roundtrip_table_reset():
+    from dupion_spark.functions.tiff import _lzw_decode_tiff, _lzw_encode_tiff
+
+    rng = np.random.default_rng(10)
+    raw = rng.integers(0, 256, size=40000).astype(np.uint8).tobytes()
+    assert _lzw_decode_tiff(_lzw_encode_tiff(raw), len(raw)) == raw
+
+
+def test_tiff_lzw_compressed_file_decodes():
+    from dupion_spark.functions.tiff import _lzw_encode_tiff
+
+    px = _pixels(11, shape=(5, 6, 3))
+    strip = _lzw_encode_tiff(px.tobytes())
+    data = _build_tiff(
+        "<",
+        [
+            (256, 3, 1, 6), (257, 3, 1, 5), (259, 3, 1, 5),
+            (262, 3, 1, 2),
+            (273, 4, 1, 8), (277, 3, 1, 3), (278, 3, 1, 5),
+            (279, 4, 1, len(strip)),
+        ],
+        strip,
+    )
+    assert np.array_equal(decode_real_tiff(data), px)
