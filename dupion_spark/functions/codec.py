@@ -10,8 +10,9 @@ real PNG -> Pillow if importable, else the pure numpy+zlib decoder in
 functions/png.py; real JPEG -> Pillow if importable, else the pure numpy
 baseline T.81 decoder in functions/jpeg.py; real GIF -> functions/gif.py
 (LZW + palette); real BMP -> functions/bmp.py (BI_RGB 8/24/32-bit); real
-TIFF -> functions/tiff.py (baseline strips, none/LZW/PackBits) — all five real
-formats are first-class in THIS container, not gated.
+TIFF -> functions/tiff.py (baseline strips, none/LZW/PackBits); real
+netpbm PPM/PGM -> functions/pnm.py — all six real formats are
+first-class in THIS container, not gated.
 
 Formats (all little-endian):
   lossless: b"DPNG" u16 h u16 w u8 c  zlib(raw HxWxC uint8)
@@ -80,6 +81,7 @@ def decode_image(data: bytes) -> np.ndarray:
         or data[:6] in (b"GIF87a", b"GIF89a")
         or data[:2] == b"BM"
         or data[:4] in (b"II*\x00", b"MM\x00*")
+        or data[:2] in (b"P5", b"P6")
     ):
         if _HAVE_PIL:  # pragma: no cover - not available in this container
             import io
@@ -110,6 +112,11 @@ def decode_image(data: bytes) -> np.ndarray:
             from dupion_spark.functions.tiff import decode_real_tiff
 
             return decode_real_tiff(data)
+        if data[:2] in (b"P5", b"P6"):
+            # real netpbm PGM/PPM (functions/pnm.py)
+            from dupion_spark.functions.pnm import decode_real_pnm
+
+            return decode_real_pnm(data)
         # real GIF: LZW + palette, first frame (functions/gif.py)
         from dupion_spark.functions.gif import decode_real_gif
 

@@ -132,6 +132,8 @@ def _member_fmt(data: bytes) -> str:
         return "bmp"
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if data[:2] in (b"P5", b"P6"):  # weak 2-byte magic: text members that
+        return "pnm"                # start "P5"/"P6" degrade via try_decode
     return "unknown"
 
 
@@ -175,7 +177,7 @@ def _unpack_rows(parent_id: str, blob: bytes, cfg: DedupConfig) -> list[dict]:
         fmt = _member_fmt(data)
         pixels = (
             codec.try_decode_image(data)
-            if fmt in ("png", "jpeg", "gif", "bmp", "tiff")
+            if fmt in ("png", "jpeg", "gif", "bmp", "tiff", "pnm")
             else None
         )
         if pixels is not None:

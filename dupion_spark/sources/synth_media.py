@@ -17,7 +17,7 @@ Golden tables:
   golden_resize      expected `resize_images(16,16,png)` output with the
                      re-encoded payload's sha256 (undecodable rows dropped)
   golden_codec       expected pixel-sha output over a MIXED REAL-FORMAT
-                     corpus (real PNG/JPEG/GIF/BMP/TIFF re-encodes of shared
+                     corpus (real PNG/JPEG/GIF/BMP/TIFF/PPM re-encodes of shared
                      frames): the lossless formats of one frame share the
                      canonical pixel sha (cross-format exact collision),
                      JPEG differs (lossy), truncated payloads -> NULL (F4)
@@ -41,7 +41,7 @@ import pandas as pd
 from dupion_spark.config import DedupConfig
 from dupion_spark.functions import codec, media, signatures
 
-MEDIA_SYNTH_VERSION = 4
+MEDIA_SYNTH_VERSION = 5
 
 # query-shape constants shared with media_queries.py: golden tables are
 # computed FOR these parameters, so the Spark queries must use the same ones
@@ -254,11 +254,11 @@ def _gen_images(n_images: int) -> tuple[pd.DataFrame, pd.DataFrame]:
 
 
 def _gen_codec_images(n_codec: int) -> tuple[pd.DataFrame, pd.DataFrame]:
-    """Mixed REAL-format corpus: consecutive 5-row groups are the SAME frame
-    encoded as real PNG / JPEG / GIF / BMP / TIFF
-    (functions/{png,jpeg,gif,bmp,tiff}.py), so the lossless rows of a group
-    decode bit-identically (one canonical pixel sha) while the JPEG row is a
-    lossy near-dup. Every 10th row is truncated -> NULL sha (F4
+    """Mixed REAL-format corpus: consecutive 6-row groups are the SAME frame
+    encoded as real PNG / JPEG / GIF / BMP / TIFF / PPM
+    (functions/{png,jpeg,gif,bmp,tiff,pnm}.py), so the lossless rows of a
+    group decode bit-identically (one canonical pixel sha) while the JPEG
+    row is a lossy near-dup. Every 10th row is truncated -> NULL sha (F4
     degradation). Golden shas replicate
     functions/spark_udfs.make_pixel_sha256_udf's canonical buffer hash
     single-process."""
@@ -266,14 +266,15 @@ def _gen_codec_images(n_codec: int) -> tuple[pd.DataFrame, pd.DataFrame]:
     from dupion_spark.functions.gif import encode_real_gif
     from dupion_spark.functions.jpeg import encode_real_jpeg
     from dupion_spark.functions.png import encode_real_png
+    from dupion_spark.functions.pnm import encode_real_ppm
     from dupion_spark.functions.tiff import encode_real_tiff
 
     encoders = [("png", encode_real_png), ("jpeg", encode_real_jpeg),
                 ("gif", encode_real_gif), ("bmp", encode_real_bmp),
-                ("tiff", encode_real_tiff)]
+                ("tiff", encode_real_tiff), ("pnm", encode_real_ppm)]
     rows, golden = [], []
     for k in range(n_codec):
-        group, variant = divmod(k, 5)
+        group, variant = divmod(k, 6)
         iid = f"cimg{k:06d}"
         rng = np.random.default_rng(24_000_000 + group)
         h = int(rng.integers(20, 48))
@@ -309,7 +310,7 @@ def generate_media(n_audio: int, n_video: int, n_images: int,
     audio, golden_audio, _ = _gen_audio(n_audio)
     video, golden_frames, golden_pairs = _gen_video(n_video, cfg)
     images, golden_resize = _gen_images(n_images)
-    n_codec = max(15, (n_images // 2) // 5 * 5)
+    n_codec = max(18, (n_images // 2) // 6 * 6)
     codec_images, golden_codec = _gen_codec_images(n_codec)
     return MediaSynthResult(audio, video, images, codec_images, golden_audio,
                             golden_frames, golden_pairs, golden_resize,

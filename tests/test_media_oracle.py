@@ -92,11 +92,11 @@ def test_codec_fixture_plants_are_non_vacuous():
     frame differs (lossy), and truncated rows degrade to NULL."""
     from dupion_spark.sources import synth_media as SM
 
-    _, golden = SM._gen_codec_images(40)
+    _, golden = SM._gen_codec_images(48)
     assert golden["pixel_sha"].isna().sum() >= 3  # truncated rows
-    assert set(golden["fmt"]) == {"png", "jpeg", "gif", "bmp", "tiff"}
+    assert set(golden["fmt"]) == {"png", "jpeg", "gif", "bmp", "tiff", "pnm"}
     by_group = golden.assign(
-        group=golden["image_id"].str[4:].astype(int) // 5
+        group=golden["image_id"].str[4:].astype(int) // 6
     ).dropna(subset=["pixel_sha"])
     for group, g in by_group.groupby("group"):
         lossless = g[g["fmt"] != "jpeg"]["pixel_sha"]
