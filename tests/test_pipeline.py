@@ -183,12 +183,12 @@ def test_real_codec_reencode_pair_clusters(spark):
     assert assign["real_png"] not in {assign[f"uniq{i}"] for i in range(6)}
 
 
-def test_real_codec_four_format_group_clusters(spark):
+def test_real_codec_six_format_group_clusters(spark):
     """Mixed real-format corpus end-to-end: the SAME frame as real PNG, GIF,
-    BMP, TIFF (bit-identical decoded pixels -> one exact group) and real
-    JPEG (PSNR ~47 dB -> near-dup edge) must all land in ONE cluster — the
-    reference's re-encode semantic across every real codec this engine
-    decodes without Pillow (functions/{png,jpeg,gif,bmp,tiff}.py)."""
+    BMP, TIFF, PPM (bit-identical decoded pixels -> one exact group) and
+    real JPEG (PSNR ~47 dB -> near-dup edge) must all land in ONE cluster —
+    the reference's re-encode semantic across every real codec this engine
+    decodes without Pillow (functions/{png,jpeg,gif,bmp,tiff,pnm}.py)."""
     import numpy as np
 
     from dupion_spark.config import DedupConfig
@@ -196,6 +196,7 @@ def test_real_codec_four_format_group_clusters(spark):
     from dupion_spark.functions.gif import encode_real_gif
     from dupion_spark.functions.jpeg import encode_real_jpeg
     from dupion_spark.functions.png import encode_real_png
+    from dupion_spark.functions.pnm import encode_real_ppm
     from dupion_spark.functions.signatures import phash64
     from dupion_spark.functions.tiff import encode_real_tiff
     from dupion_spark.streaming.dedup_stream import IMAGE_SCHEMA
@@ -220,6 +221,8 @@ def test_real_codec_four_format_group_clusters(spark):
          "caption d", phash64(base, cfg)),
         ("f_tif", bytearray(encode_real_tiff(base)), 64, 64, "tiff",
          "caption e", phash64(base, cfg)),
+        ("f_ppm", bytearray(encode_real_ppm(base)), 64, 64, "pnm",
+         "caption f", phash64(base, cfg)),
     ]
     for i in range(6):
         px = smooth_quantized()
@@ -228,6 +231,7 @@ def test_real_codec_four_format_group_clusters(spark):
     images = spark.createDataFrame(rows, IMAGE_SCHEMA)
     result = run_pipeline(spark, images, cfg)
     assign = {r["image_id"]: r["cluster_root"] for r in result.clusters.collect()}
-    roots = {assign[k] for k in ("f_png", "f_jpg", "f_gif", "f_bmp", "f_tif")}
-    assert len(roots) == 1, f"five formats split into {roots}"
+    roots = {assign[k]
+             for k in ("f_png", "f_jpg", "f_gif", "f_bmp", "f_tif", "f_ppm")}
+    assert len(roots) == 1, f"six formats split into {roots}"
     assert roots.pop() not in {assign[f"uniq{i}"] for i in range(6)}
