@@ -247,6 +247,105 @@ def encode_real_gif(pixels: np.ndarray, interlace: bool = False) -> bytes:
     return bytes(out)
 
 
+def encode_real_gif_animation(frames: list[np.ndarray]) -> bytes:
+    """Encode same-shape HxWx3 uint8 frames as a multi-frame GIF89a
+    animation. Each frame carries its own LOCAL color table (so palettes
+    need not be shared); every frame must quantize to <=256 colors."""
+    if not frames:
+        raise ValueError("animation needs at least one frame")
+    h, w = frames[0].shape[:2]
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HHBBB", w, h, 0, 0, 0)  # no global CT
+    for px in frames:
+        px = np.ascontiguousarray(px, dtype=np.uint8)
+        if px.shape != (h, w, 3):
+            raise ValueError("animation frames must share one HxWx3 shape")
+        flat = px.reshape(-1, 3)
+        palette, indices = np.unique(flat, axis=0, return_inverse=True)
+        if len(palette) > 256:
+            raise ValueError(
+                f"GIF frame needs <=256 distinct colors, has {len(palette)}"
+            )
+        ct_bits = max(1, int(len(palette) - 1).bit_length())
+        ct = np.zeros((1 << ct_bits, 3), dtype=np.uint8)
+        ct[: len(palette)] = palette
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", 0, 0, w, h, 0x80 | (ct_bits - 1)  # local CT flag
+        )
+        out += ct.tobytes()
+        min_code_size = max(2, ct_bits)
+        out.append(min_code_size)
+        out += _sub_blocks(
+            _lzw_encode(indices.astype(np.uint8).reshape(-1), min_code_size)
+        )
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _header_end(data: bytes) -> int:
+    """Offset just past the logical screen descriptor + global color table
+    (the prefix a standalone single-frame rebuild must carry)."""
+    if data[:6] not in GIF_MAGICS or len(data) < 13:
+        raise ValueError("GIF header truncated")
+    packed = data[10]
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    if pos > len(data):
+        raise ValueError("GIF global color table truncated")
+    return pos
+
+
+def gif_frame_spans(data: bytes):
+    """Yield (frame_idx, start, end) byte spans of every image descriptor
+    block WITHOUT LZW-decoding payloads — the same seek-without-decode
+    contract as functions/media.iter_frame_spans for DVID/AVI. Extensions
+    between frames are skipped."""
+    pos = _header_end(data)
+    idx = 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("GIF stream ended without trailer")
+        block = data[pos]
+        if block == 0x3B:
+            return
+        if block == 0x21:
+            _, pos = _read_sub_blocks(data, pos + 2)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        start = pos
+        if pos + 10 > len(data):
+            raise ValueError("GIF image descriptor truncated")
+        ipacked = data[pos + 9]
+        pos += 10
+        if ipacked & 0x80:
+            pos += 3 * (2 << (ipacked & 0x07))
+        pos += 1  # LZW min code size
+        _, pos = _read_sub_blocks(data, pos)
+        yield idx, start, pos
+        idx += 1
+
+
+def gif_frame_count(data: bytes) -> int:
+    return sum(1 for _ in gif_frame_spans(data))
+
+
+def extract_gif_frame(data: bytes, start: int, end: int) -> bytes:
+    """Standalone single-frame GIF bytes for a span from gif_frame_spans:
+    original header + global color table + the frame block + trailer.
+    Only full-canvas frames are supported — a partial-frame (composited)
+    animation frame raises ValueError and degrades via the F4 path; exact
+    compositing with disposal methods is out of scope."""
+    sw, sh = struct.unpack("<HH", data[6:10])
+    ix, iy, iw, ih = struct.unpack("<HHHH", data[start + 1 : start + 9])
+    if (ix, iy, iw, ih) != (0, 0, sw, sh):
+        raise ValueError(
+            "partial-frame GIF animation frames are not composited"
+        )
+    return data[: _header_end(data)] + data[start:end] + b"\x3b"
+
+
 def decode_real_gif(data: bytes) -> np.ndarray:
     """Decode real GIF bytes -> HxWx3 uint8 RGB (first frame)."""
     if data[:6] not in GIF_MAGICS:

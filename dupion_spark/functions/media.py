@@ -17,7 +17,11 @@ Formats (little-endian):
          b"DVID" u16 n_frames  then per frame: u32 byte_len + encoded image
          (any format `functions/codec.py` decodes — DPNG/DJPG)
   real video: RIFF/MJPEG AVI dispatches to `functions/avi.py` (frames are
-         baseline JPEG, decoded by `functions/jpeg.py` — no ffmpeg needed)
+         baseline JPEG, decoded by `functions/jpeg.py` — no ffmpeg needed);
+         animated GIF dispatches to `functions/gif.py` (image-descriptor
+         block walk = seek-without-decode; each sampled frame rebuilds as a
+         standalone one-frame GIF; full-canvas frames only — composited
+         partial frames degrade via F4)
 
 The length-prefixed video layout matters at scale: frame sampling walks the
 u32 prefixes and decompresses ONLY sampled frames — a stride-10 sample of a
@@ -162,6 +166,10 @@ def video_frame_count(data: bytes) -> int:
 
     if avi.is_avi(data):
         return avi.avi_frame_count(data)
+    from dupion_spark.functions import gif
+
+    if data[:6] in gif.GIF_MAGICS:  # animated GIF as a video container
+        return gif.gif_frame_count(data)
     raise ValueError(f"unknown video magic: {data[:4]!r}")
 
 
@@ -185,6 +193,11 @@ def iter_frame_spans(data: bytes):
     if avi.is_avi(data):
         yield from avi.avi_frame_spans(data)
         return
+    from dupion_spark.functions import gif
+
+    if data[:6] in gif.GIF_MAGICS:
+        yield from gif.gif_frame_spans(data)
+        return
     raise ValueError(f"unknown video magic: {data[:4]!r}")
 
 
@@ -194,6 +207,11 @@ def extract_frame_bytes(data: bytes, start: int, end: int) -> bytes:
     fixed-tables convention) get the Annex K.3 tables spliced in."""
     if data[:4] == MAGIC_VIDEO:
         return data[start:end]
+    from dupion_spark.functions import gif
+
+    if data[:6] in gif.GIF_MAGICS:
+        # rebuild a standalone one-frame GIF (header + color table + frame)
+        return gif.extract_gif_frame(data, start, end)
     from dupion_spark.functions import avi
 
     return avi.ensure_dht(data[start:end])

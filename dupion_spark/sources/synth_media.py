@@ -41,7 +41,7 @@ import pandas as pd
 from dupion_spark.config import DedupConfig
 from dupion_spark.functions import codec, media, signatures
 
-MEDIA_SYNTH_VERSION = 5
+MEDIA_SYNTH_VERSION = 6
 
 # query-shape constants shared with media_queries.py: golden tables are
 # computed FOR these parameters, so the Spark queries must use the same ones
@@ -167,6 +167,24 @@ def _gen_video(n_video: int, cfg: DedupConfig) -> tuple[pd.DataFrame, pd.DataFra
             rows.append({"video_id": vid, "bytes": b"AVI?" + rng.bytes(48)})
             continue
         n_frames = int(rng.integers(4, 9))
+        if j % 7 == 2 and j % 8 != 3:
+            # real ANIMATED GIF container row: the engine's frame sampler
+            # walks image-descriptor blocks (functions/gif.gif_frame_spans)
+            # exactly as it walks DVID prefixes / AVI movi chunks. Frames
+            # quantize to a GIF-safe palette; golden frame blobs are the
+            # equivalent single-frame GIF encodes of the same pixels.
+            from dupion_spark.functions.gif import (
+                encode_real_gif,
+                encode_real_gif_animation,
+            )
+
+            pxs = [_frame_pixels(rng) // 64 * 64 for _ in range(n_frames)]
+            rows.append({"video_id": vid,
+                         "bytes": encode_real_gif_animation(pxs)})
+            frames = [encode_real_gif(px) for px in pxs]
+            frames_by_vid[vid] = frames
+            prev_frames = frames
+            continue
         enc = codec.encode_jpeg if j % 5 == 0 else codec.encode_png
         frames = [enc(_frame_pixels(rng)) for _ in range(n_frames)]
         if j % 8 == 3 and prev_frames is not None:

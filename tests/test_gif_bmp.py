@@ -245,3 +245,63 @@ if _HAVE_HYPOTHESIS:
         enc = _lzw_encode(arr, min_code_size)
         dec = _lzw_decode(enc, min_code_size, len(arr))
         assert np.array_equal(dec, arr)
+
+
+# --- animated GIF as a video container --------------------------------------
+
+def test_gif_animation_frames_roundtrip_via_media_dispatch():
+    """An animated GIF walks frame spans and decodes per-frame through the
+    SAME media container API as DVID/AVI (functions/media.iter_frame_spans):
+    seek-without-decode, standalone one-frame rebuilds."""
+    from dupion_spark.functions import media
+    from dupion_spark.functions.gif import (
+        encode_real_gif_animation,
+        gif_frame_count,
+    )
+
+    rng = np.random.default_rng(31)
+    frames = [
+        (rng.integers(0, 256, size=(24, 32, 3)).astype(np.uint8) // 64 * 64)
+        for _ in range(5)
+    ]
+    anim = encode_real_gif_animation(frames)
+    assert gif_frame_count(anim) == 5
+    assert media.video_frame_count(anim) == 5
+    for idx, start, end in media.iter_frame_spans(anim):
+        px = decode_image(media.extract_frame_bytes(anim, start, end))
+        assert np.array_equal(px, frames[idx]), idx
+    # whole-animation decode_image still yields the first frame
+    assert np.array_equal(decode_image(anim), frames[0])
+
+
+def test_gif_animation_partial_frame_degrades():
+    """A composited (partial-canvas) animation frame is honestly refused at
+    extraction — F4 degrade, not a wrong composite."""
+    import struct
+
+    from dupion_spark.functions import media
+    from dupion_spark.functions.gif import encode_real_gif_animation
+
+    rng = np.random.default_rng(32)
+    frames = [
+        (rng.integers(0, 256, size=(8, 8, 3)).astype(np.uint8) // 64 * 64)
+        for _ in range(2)
+    ]
+    anim = bytearray(encode_real_gif_animation(frames))
+    spans = list(media.iter_frame_spans(bytes(anim)))
+    # shrink frame 1's descriptor to a 4x4 sub-rectangle (descriptor bytes:
+    # 0x2c, then <HHHH> left/top/width/height). The LZW payload still holds
+    # 64 pixels but extraction must refuse BEFORE decoding.
+    _, start, _ = spans[1]
+    anim[start + 5 : start + 9] = struct.pack("<HH", 4, 4)
+    data = bytes(anim)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        s, e = spans[1][1], spans[1][2]
+        media.extract_frame_bytes(data, s, e)
+    # frame 0 (still full-canvas) keeps working
+    s0, e0 = spans[0][1], spans[0][2]
+    assert np.array_equal(
+        decode_image(media.extract_frame_bytes(data, s0, e0)), frames[0]
+    )
