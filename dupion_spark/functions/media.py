@@ -61,8 +61,10 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
     """Decode bytes -> (int16 samples [n, channels], sample_rate).
 
     Dispatches on magic: DWAV (engine container) and real RIFF/WAVE via the
-    stdlib `wave` module (16-bit PCM only — the overwhelmingly common case).
-    Compressed real formats (mp3/flac/ogg) would need an external decoder.
+    stdlib `wave` module (8/16/24/32-bit integer PCM, normalized to int16:
+    8-bit is unsigned-offset per the RIFF spec, 24-bit is packed
+    little-endian 3-byte two's complement). Compressed real formats
+    (mp3/ogg) would need an external decoder.
     """
     if data[:4] == MAGIC_AUDIO:
         rate, ch, n = struct.unpack("<IBI", data[4:13])
@@ -70,13 +72,28 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
         return pcm.reshape(n, ch), rate
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         with wave.open(io.BytesIO(data), "rb") as wf:
-            if wf.getsampwidth() != 2:
-                raise NotImplementedError(
-                    f"only 16-bit PCM WAV supported, got {wf.getsampwidth() * 8}-bit"
-                )
+            sw = wf.getsampwidth()
             ch = wf.getnchannels()
             n = wf.getnframes()
-            pcm = np.frombuffer(wf.readframes(n), dtype=np.int16)
+            raw = wf.readframes(n)
+            if sw == 2:
+                pcm = np.frombuffer(raw, dtype="<i2")
+            elif sw == 1:  # unsigned with a 128 offset, per the RIFF spec
+                u8 = np.frombuffer(raw, dtype=np.uint8)
+                pcm = ((u8.astype(np.int16) - 128) << 8).astype(np.int16)
+            elif sw == 3:  # packed little-endian 24-bit two's complement
+                b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+                val = (
+                    b[:, 0].astype(np.int32)
+                    | (b[:, 1].astype(np.int32) << 8)
+                    | (b[:, 2].astype(np.int32) << 16)
+                )
+                val = (val ^ 0x800000) - 0x800000  # sign-extend bit 23
+                pcm = (val >> 8).astype(np.int16)
+            elif sw == 4:
+                pcm = (np.frombuffer(raw, dtype="<i4") >> 16).astype(np.int16)
+            else:
+                raise NotImplementedError(f"WAV sample width {sw * 8}-bit")
             return pcm.reshape(n, ch), wf.getframerate()
     if data[:4] == b"fLaC":
         # real FLAC decodes WITHOUT libFLAC: pure python+numpy stream

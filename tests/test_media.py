@@ -249,3 +249,49 @@ def test_video_pair_df_cutoff_drops_nondiscriminative_hash(spark, cfg):
     row = pairs.iloc[0]
     assert (row.id_l, row.id_r) == ("dup_a", "dup_b")
     assert row.shared_frames == 2
+
+
+def test_real_wav_8_24_32_bit_normalize_to_int16():
+    """8/24/32-bit integer PCM WAVs decode to int16 with consistent scaling:
+    the same waveform written at every width must decode to (nearly) the
+    same int16 samples — so a re-encoded bit-depth change stays a near-dup
+    under the volume-invariant fingerprint."""
+    import io
+    import wave as _wave
+
+    import numpy as np
+
+    from dupion_spark.functions.media import decode_audio
+
+    rng = np.random.default_rng(41)
+    rate = 8000
+    base16 = (rng.integers(-12000, 12000, size=(500, 1)) // 256 * 256).astype(
+        np.int16
+    )  # multiples of 256 survive the 8-bit roundtrip exactly
+
+    def wav(samples_bytes: bytes, sw: int) -> bytes:
+        buf = io.BytesIO()
+        with _wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(sw)
+            wf.setframerate(rate)
+            wf.writeframes(samples_bytes)
+        return buf.getvalue()
+
+    # 8-bit: unsigned offset encoding of the high byte
+    u8 = ((base16.astype(np.int32) >> 8) + 128).astype(np.uint8)
+    s8, r8 = decode_audio(wav(u8.tobytes(), 1))
+    assert r8 == rate and np.array_equal(s8, base16)
+
+    # 24-bit: value << 8, packed little-endian 3-byte
+    v24 = base16.astype(np.int32) << 8
+    b = np.zeros((v24.size, 3), dtype=np.uint8)
+    u = v24.reshape(-1) & 0xFFFFFF
+    b[:, 0], b[:, 1], b[:, 2] = u & 0xFF, (u >> 8) & 0xFF, (u >> 16) & 0xFF
+    s24, _ = decode_audio(wav(b.tobytes(), 3))
+    assert np.array_equal(s24, base16)
+
+    # 32-bit: value << 16
+    v32 = (base16.astype(np.int32) << 16).astype("<i4")
+    s32, _ = decode_audio(wav(v32.tobytes(), 4))
+    assert np.array_equal(s32, base16)
