@@ -9,6 +9,8 @@ JPEG / GIF decoders.
 Scope (ValueError / NotImplementedError outside it — the F4 validity path
 degrades such rows to byte-hash handling, never kills the job):
   - decode: uncompressed (BI_RGB) 8-bit paletted, 24-bit BGR and 32-bit BGRA,
+    plus BI_RLE8 run-length 8-bit paletted (encoded runs, absolute mode,
+    end-of-line / end-of-bitmap / delta escapes per the GDI spec),
     BITMAPINFOHEADER or larger (V4/V5 headers share the 40-byte prefix),
     top-down (negative height) or bottom-up; output is HxWx3 RGB uint8
   - encode: 24-bit bottom-up BI_RGB (what ~every BMP writer emits)
@@ -50,6 +52,51 @@ def encode_real_bmp(pixels: np.ndarray) -> bytes:
     return header + data
 
 
+def _rle8_decode(data: bytes, w: int, h: int) -> np.ndarray:
+    """BI_RLE8 -> (h, w) palette-index rows in BOTTOM-UP storage order
+    (matching the uncompressed layout, so the caller's row flip applies
+    uniformly). Escapes: 00 00 end-of-line, 00 01 end-of-bitmap,
+    00 02 dx dy delta, 00 n>=3 absolute mode (word-aligned)."""
+    out = np.zeros((h, w), dtype=np.uint8)  # skipped pixels default to 0
+    row = 0  # storage row (bottom-up: row 0 is the visual bottom)
+    col = 0
+    pos = 0
+    n = len(data)
+    while True:
+        if pos + 2 > n:
+            raise ValueError("BMP RLE8 stream truncated")
+        count, value = data[pos], data[pos + 1]
+        pos += 2
+        if count > 0:  # encoded run: value repeated count times
+            if row >= h or col + count > w:
+                raise ValueError("BMP RLE8 run overflows row")
+            out[row, col : col + count] = value
+            col += count
+            continue
+        if value == 0:  # end of line
+            row += 1
+            col = 0
+            continue
+        if value == 1:  # end of bitmap
+            return out
+        if value == 2:  # delta: skip right/up
+            if pos + 2 > n:
+                raise ValueError("BMP RLE8 delta truncated")
+            col += data[pos]
+            row += data[pos + 1]
+            pos += 2
+            if row > h or col > w:
+                raise ValueError("BMP RLE8 delta out of bounds")
+            continue
+        # absolute mode: `value` literal bytes, padded to a word boundary
+        end = pos + value
+        if end > n or row >= h or col + value > w:
+            raise ValueError("BMP RLE8 absolute run truncated/overflows")
+        out[row, col : col + value] = np.frombuffer(data[pos:end], np.uint8)
+        col += value
+        pos = end + (value & 1)
+
+
 def decode_real_bmp(data: bytes) -> np.ndarray:
     """Decode real BMP bytes -> HxWx3 uint8 RGB."""
     if data[:2] != BMP_MAGIC:
@@ -63,13 +110,15 @@ def decode_real_bmp(data: bytes) -> np.ndarray:
     w, h_signed, _planes, bpp, compression = struct.unpack(
         "<iiHHI", data[18:34]
     )
-    if compression != 0:  # BI_RGB only
+    if compression not in (0, 1):  # BI_RGB / BI_RLE8
         raise NotImplementedError(f"BMP compression {compression}")
     if w <= 0 or h_signed == 0:
         raise ValueError("BMP has zero/negative width or zero height")
     top_down = h_signed < 0
     h = abs(h_signed)
 
+    if compression == 1 and bpp != 8:
+        raise ValueError(f"BMP RLE8 requires 8-bit pixels, got {bpp}")
     if bpp == 8:
         n_colors = struct.unpack("<I", data[46:50])[0] or 256
         pal_off = 14 + hdr_size
@@ -85,12 +134,18 @@ def decode_real_bmp(data: bytes) -> np.ndarray:
         row_bytes = w * (bpp // 8)
     else:
         raise NotImplementedError(f"BMP bit depth {bpp}")
-    stride = row_bytes + ((-row_bytes) % 4)
-    need = stride * h
-    raw = data[offset : offset + need]
-    if len(raw) < need:
-        raise ValueError("BMP pixel data truncated")
-    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)[:, :row_bytes]
+    if compression == 1:
+        # RLE streams are stored bottom-up by spec; _rle8_decode returns
+        # rows in storage order so the same flip applies
+        rows = _rle8_decode(data[offset:], w, h)
+    else:
+        stride = row_bytes + ((-row_bytes) % 4)
+        need = stride * h
+        raw = data[offset : offset + need]
+        if len(raw) < need:
+            raise ValueError("BMP pixel data truncated")
+        rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+        rows = rows[:, :row_bytes]
     if not top_down:
         rows = rows[::-1]
     if palette is not None:

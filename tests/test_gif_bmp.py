@@ -186,7 +186,9 @@ def test_bmp_compressed_or_truncated_degrades():
     data = bytearray(encode_real_bmp(px))
     assert try_decode_image(bytes(data[:30])) is None  # truncated header
     assert try_decode_image(bytes(data[:-5])) is None  # truncated pixels
-    data[30:34] = struct.pack("<I", 1)  # BI_RLE8 -> NotImplementedError
+    data[30:34] = struct.pack("<I", 1)  # RLE8 flag on 24-bit: invalid
+    assert try_decode_image(bytes(data)) is None
+    data[30:34] = struct.pack("<I", 4)  # BI_JPEG: honestly unsupported
     assert try_decode_image(bytes(data)) is None
 
 
@@ -305,3 +307,53 @@ def test_gif_animation_partial_frame_degrades():
     assert np.array_equal(
         decode_image(media.extract_frame_bytes(data, s0, e0)), frames[0]
     )
+
+
+# --- BMP RLE8 ----------------------------------------------------------------
+
+def _rle8_bmp(w, h, pal, stream):
+    import struct
+
+    offset = 14 + 40 + 4 * len(pal)
+    return (
+        b"BM"
+        + struct.pack("<IHHI", offset + len(stream), 0, 0, offset)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(stream),
+                      0, 0, len(pal), 0)
+        + b"".join(bytes([b, g, r, 0]) for (r, g, b) in pal)
+        + stream
+    )
+
+
+def test_bmp_rle8_runs_absolute_padding_eol_eob():
+    pal = [(9, 9, 9), (250, 0, 0), (0, 250, 0), (0, 0, 250)]
+    # storage rows (bottom-up): runs, odd absolute mode (word-padded), EOLs
+    stream = bytes(
+        [3, 1] + [0, 3, 2, 3, 2, 0] + [0, 0]      # s0: 1,1,1 | abs 2,3,2 | EOL
+        + [6, 3, 0, 0]                             # s1: 3*6 | EOL
+        + [2, 0] + [0, 4, 1, 1, 2, 2] + [0, 1]    # s2: 0,0 | abs 1,1,2,2 | EOB
+    )
+    out = decode_real_bmp(_rle8_bmp(6, 3, pal, stream))
+    storage = np.array(
+        [[1, 1, 1, 2, 3, 2], [3, 3, 3, 3, 3, 3], [0, 0, 1, 1, 2, 2]]
+    )
+    expected = np.array([[pal[i] for i in row] for row in storage[::-1]],
+                        dtype=np.uint8)
+    assert np.array_equal(out, expected)
+
+
+def test_bmp_rle8_delta_skips_default_to_zero():
+    pal = [(1, 2, 3), (250, 0, 0), (0, 250, 0)]
+    stream = bytes([1, 1] + [0, 2, 2, 1] + [1, 2] + [0, 1])
+    out = decode_real_bmp(_rle8_bmp(4, 2, pal, stream))
+    storage = np.array([[1, 0, 0, 0], [0, 0, 0, 2]])
+    expected = np.array([[pal[i] for i in row] for row in storage[::-1]],
+                        dtype=np.uint8)
+    assert np.array_equal(out, expected)
+
+
+def test_bmp_rle8_truncated_degrades():
+    pal = [(0, 0, 0), (255, 255, 255)]
+    stream = bytes([200, 1])  # run overflows a 4-wide row
+    assert try_decode_image(_rle8_bmp(4, 2, pal, stream)) is None
+    assert try_decode_image(_rle8_bmp(4, 2, pal, bytes([2, 1]))) is None  # no EOB
