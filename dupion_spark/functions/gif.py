@@ -381,6 +381,14 @@ def decode_real_gif(data: bytes) -> np.ndarray:
             raise ValueError("GIF image descriptor truncated")
         _ix, _iy, iw, ih, ipacked = struct.unpack("<HHHHB", data[pos : pos + 9])
         pos += 9
+        # a first frame smaller than the logical screen would decode as just
+        # the sub-rectangle while a compositing decoder returns a canvas-sized
+        # image — degrade via F4 (mirrors extract_gif_frame) so the pixel sha
+        # cannot depend on which decoder is installed
+        if (_ix, _iy, iw, ih) != (0, 0, sw, sh):
+            raise ValueError(
+                "partial-frame GIF (descriptor != logical screen) not composited"
+            )
         ct = global_ct
         if ipacked & 0x80:
             n = 2 << (ipacked & 0x07)

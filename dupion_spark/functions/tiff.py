@@ -39,6 +39,7 @@ _SAMPLES_PER_PIXEL = 277
 _ROWS_PER_STRIP = 278
 _STRIP_BYTE_COUNTS = 279
 _PLANAR_CONFIG = 284
+_PREDICTOR = 317
 _COLOR_MAP = 320
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
@@ -238,7 +239,7 @@ def decode_real_tiff(data: bytes) -> np.ndarray:
         if tag in (_IMAGE_WIDTH, _IMAGE_LENGTH, _BITS_PER_SAMPLE,
                    _COMPRESSION, _PHOTOMETRIC, _STRIP_OFFSETS,
                    _SAMPLES_PER_PIXEL, _ROWS_PER_STRIP, _STRIP_BYTE_COUNTS,
-                   _PLANAR_CONFIG, _COLOR_MAP):
+                   _PLANAR_CONFIG, _PREDICTOR, _COLOR_MAP):
             tags[tag] = values(typ, count, raw)
 
     try:
@@ -253,6 +254,11 @@ def decode_real_tiff(data: bytes) -> np.ndarray:
     compression = tags.get(_COMPRESSION, [1])[0]
     if compression not in (1, 5, 32773):
         raise NotImplementedError(f"TIFF compression {compression}")
+    # Predictor 2 (horizontal differencing, the common libtiff/Adobe LZW
+    # default) stores per-sample deltas; decoding those bytes as raw pixels
+    # would be silently wrong — degrade via F4 instead (TIFF 6.0 §14)
+    if tags.get(_PREDICTOR, [1])[0] != 1:
+        raise NotImplementedError(f"TIFF predictor {tags[_PREDICTOR][0]}")
     if tags.get(_PLANAR_CONFIG, [1])[0] != 1:
         raise NotImplementedError("TIFF planar configuration 2")
     spp = tags.get(_SAMPLES_PER_PIXEL, [1])[0]

@@ -59,6 +59,28 @@ def _tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names]
 
 
+def _fan_out(docs: DataFrame) -> DataFrame:
+    """Input-skew guard (optimization guide §2.5): the documents table is ONE
+    parquet file with ONE row group at every bench SF, so the scan — and with
+    it all the per-shingle/per-token hash work that runs map-side before the
+    first exchange — lands in a single task regardless of core count
+    (row-group granularity caps effective scan parallelism; split-size knobs
+    cannot split one row group). When the planned scan has fewer partitions
+    than the session's parallelism, redistribute rows by doc_id first: the
+    exchange moves only the raw text rows (~6 MB at sf1.0) while the hashing
+    it parallelizes is orders of magnitude more work, and downstream
+    groupBy(doc_id) aggregations reuse the hash-partitioning (no second
+    exchange). On a production corpus laid out in many files/row groups the
+    scan already yields enough splits and this is a no-op. Only applied to
+    queries whose aggregates are exact under re-partitioning (integer
+    min/sum/count — never float sums)."""
+    spark = docs.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target, "doc_id")
+    return docs
+
+
 def _h60(col):
     """Spark-side shared 60-bit md5 hash (see module docstring)."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
@@ -460,30 +482,43 @@ def _doc_shingle_arr():
     )
 
 
-def _doc_shingles(docs: DataFrame) -> DataFrame:
-    """doc_id, shingle — the exploded row form, used only where per-shingle
-    joins are genuinely needed (the jaccard intersection)."""
-    return docs.select("doc_id", F.explode(_doc_shingle_arr()).alias("shingle"))
+def _shingle_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) — one row per shingle POSITION, duplicates kept, so
+    valid ONLY for duplicate-insensitive consumers (the min-aggregates of the
+    MinHash signature and the fingerprint: min over the position multiset ==
+    min over the distinct set). Runs entirely in whole-stage codegen —
+    explode(sequence) + substr — replacing the interpreted per-element
+    higher-order transform + array_distinct of _doc_shingle_arr, whose array
+    build ALONE measured 19.6 s at sf1.0 (see OPTIMIZATION_r06.md).
+    Degenerate docs (length < K, incl. empty) emit exactly one row equal to
+    the whole text, matching _doc_shingle_arr's [text] branch; NULL text
+    yields a NULL sequence and the row is dropped, matching the old
+    explode(NULL array) behavior."""
+    n = F.when(
+        F.length("text") >= DOC_SHINGLE_K, F.length("text") - (DOC_SHINGLE_K - 1)
+    ).otherwise(F.when(F.col("text").isNotNull(), F.lit(1)))
+    return docs.select(
+        "doc_id", "text", F.explode(F.sequence(F.lit(1), n)).alias("i")
+    ).select("doc_id", F.expr(f"substr(text, i, {DOC_SHINGLE_K})").alias("shingle"))
 
 
 def _minhash_sig(docs: DataFrame) -> DataFrame:
-    """(doc_id, h0..h15) MinHash signatures: explode shingles, one md5-based
-    60-bit hash per shingle row, 16 min-aggregates back to one row per doc.
+    """(doc_id, h0..h15) MinHash signatures: explode shingle positions, one
+    md5-based 60-bit hash per shingle row, 16 min-aggregates back to one row
+    per doc.
 
-    Deliberately NOT map-side: three array-based variants were measured at
-    sf0.1 and all lose to this explode+groupBy form, because higher-order
-    functions (transform/aggregate) evaluate INTERPRETED per element while
-    the exploded md5 runs in whole-stage codegen —
-      16x array_min(transform(bases, affine)) w/ inlined bases: 16x the md5;
-      aggregate w/ 16-field struct accumulator: a struct alloc per shingle
-        (2.2x slower than this form);
-      generator-materialized bases + 16 affine array_mins: md5 once but
-        interpreted (1.4x slower than this form).
+    Deliberately NOT map-side: array-based variants were measured at sf0.1
+    and all lose to the explode+groupBy form, because higher-order functions
+    (transform/aggregate) evaluate INTERPRETED per element while the exploded
+    md5 runs in whole-stage codegen. r6 pushed the same observation into the
+    shingle source itself: _shingle_rows explodes positions via codegen
+    sequence+substr instead of exploding an interpreted-transform-built
+    distinct array (duplicate positions cannot change a min aggregate).
     The groupBy shuffle is NOT corpus-scale: partial aggregation collapses
     each doc's shingles (co-partitioned with the doc by the explode) to one
     16-column row per doc before the exchange, so the shuffle carries one
     skinny row per document."""
-    shingles = _doc_shingles(docs).withColumn("base", _h60(F.col("shingle")) % M31)
+    shingles = _shingle_rows(docs).withColumn("base", _h60(F.col("shingle")) % M31)
     return shingles.groupBy("doc_id").agg(
         *[
             F.min((F.col("base") * a + b) % M31).alias(f"h{i}")
@@ -496,7 +531,7 @@ def q_dedup_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures over text shingles (the caption-MinHash operator on
     the documents table, SQL-checkable): doc_id, h0..h15 signature columns."""
     (docs,) = _tables(spark, sf_dir, "documents")
-    return _minhash_sig(docs)
+    return _minhash_sig(_fan_out(docs))
 
 
 def _sql_shingles() -> str:
@@ -645,7 +680,7 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeds the adaptive band plan + sampled hot detection; at oracle scales
     both stay at the exact/default behavior the SQL mirrors."""
     (docs,) = _tables(spark, sf_dir, "documents")
-    return _doc_pairs(_minhash_sig(docs), n_docs=docs.count())
+    return _doc_pairs(_minhash_sig(_fan_out(docs)), n_docs=docs.count())
 
 
 def _sql_band_key(band: int) -> str:
@@ -714,9 +749,19 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     + pair generation dominate at ~3.8 s); the win is the shuffle SHAPE at
     corpus scale: the explode layout shuffled three per-shingle row tables,
     this one shuffles each member's array once per pair occurrence and
-    per-shingle rows never shuffle at all."""
+    per-shingle rows never shuffle at all.
+
+    r6 parallelism fixes (guide §2.5): the members scan goes through
+    _fan_out (same single-row-group serialization as the signature path),
+    and the checkpointed pair table — whose upstream distinct() is
+    AQE-coalesced to ONE partition at bench scale because candidate pairs
+    are only a few hundred KB — is explicitly re-spread before the
+    fat-array joins: the exchange moves 16-byte id pairs, and it keeps the
+    CPU-heavy array_intersect stage (whose per-row cost AQE's bytes-based
+    coalescing cannot see) on every core. Measured at sf1.0 (23,277 pairs):
+    the intersect stage ran in 1 task at 5.7 s before, 1.0 s after."""
     (docs,) = _tables(spark, sf_dir, "documents")
-    sig = _minhash_sig(docs)
+    sig = _minhash_sig(_fan_out(docs))
     # checkpointed: three consumers (two member-id projections + the join)
     pairs = _doc_pairs(sig, n_docs=docs.count()).localCheckpoint(eager=False)
     member_ids = (
@@ -725,12 +770,14 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     members = (
-        docs.join(member_ids, "doc_id", "left_semi")
+        _fan_out(docs).join(member_ids, "doc_id", "left_semi")
         .select("doc_id", _doc_shingle_arr().alias("sh_arr"))
         .localCheckpoint(eager=False)  # consumers: both pair-member joins
     )
+    target = spark.sparkContext.defaultParallelism
     with_arrays = (
-        pairs.join(
+        pairs.repartition(target, "id_l", "id_r")
+        .join(
             members.select(F.col("doc_id").alias("id_l"),
                            F.col("sh_arr").alias("arr_l")), "id_l")
         .join(
@@ -738,12 +785,21 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("sh_arr").alias("arr_r")), "id_r")
     )
     n_inter = F.size(F.array_intersect("arr_l", "arr_r"))
-    return with_arrays.select(
-        "id_l",
-        "id_r",
-        F.round(
-            n_inter / (F.size("arr_l") + F.size("arr_r") - n_inter), 6
-        ).alias("jaccard"),
+    # pairs with zero shared shingles (pure banding false positives) are
+    # dropped: the oracle's inner join + GROUP BY never emits them, so the
+    # Spark side must not either (row-set contract)
+    return (
+        with_arrays.withColumn("n_inter", n_inter)
+        .filter(F.col("n_inter") > 0)
+        .select(
+            "id_l",
+            "id_r",
+            F.round(
+                F.col("n_inter")
+                / (F.size("arr_l") + F.size("arr_r") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
     )
 
 
@@ -868,12 +924,22 @@ FROM scored
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: min 60-bit hash over its shingles (rolling-hash
-    style content fingerprint; equal texts -> equal fingerprints). Map-side
-    array_min over the shingle array — same value as the explode+groupBy
-    form with zero shuffle."""
+    style content fingerprint; equal texts -> equal fingerprints).
+
+    r6: explode+groupBy-min over codegen shingle rows. The previous map-side
+    array_min(transform(...)) form had zero shuffle but evaluated the md5
+    INTERPRETED per element inside a higher-order function, and — the
+    single-file/single-row-group input being unsplittable — ran in ONE task:
+    29.4 s at sf1.0. The explode form runs the md5 in whole-stage codegen
+    after the _fan_out redistribution; the groupBy shuffle carries one row
+    per doc after partial aggregation (and reuses _fan_out's doc_id
+    partitioning, so no extra exchange)."""
     (docs,) = _tables(spark, sf_dir, "documents")
-    fp = F.array_min(F.transform(_doc_shingle_arr(), lambda s: _h60(s)))
-    return docs.select("doc_id", fp.alias("fingerprint"))
+    return (
+        _shingle_rows(_fan_out(docs))
+        .groupBy("doc_id")
+        .agg(F.min(_h60(F.col("shingle"))).alias("fingerprint"))
+    )
 
 
 SQL_TEXT_FINGERPRINT = (
@@ -1525,8 +1591,9 @@ def q_dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash per token, 60 conditional sums (map-side combinable), sign → bit.
     Zero-token docs get simhash 0. (doc_id, simhash)."""
     (docs,) = _tables(spark, sf_dir, "documents")
+    # _fan_out: the 60 integer ±1 sums are exact under any re-partitioning
     toks = (
-        docs.filter(F.length(F.trim("text")) > 0)
+        _fan_out(docs).filter(F.length(F.trim("text")) > 0)
         .select("doc_id", F.explode(_tokens_col()).alias("tok"))
     )
     th = toks.withColumn("h", _h60(F.col("tok")))

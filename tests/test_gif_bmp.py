@@ -357,3 +357,19 @@ def test_bmp_rle8_truncated_degrades():
     stream = bytes([200, 1])  # run overflows a 4-wide row
     assert try_decode_image(_rle8_bmp(4, 2, pal, stream)) is None
     assert try_decode_image(_rle8_bmp(4, 2, pal, bytes([2, 1]))) is None  # no EOB
+
+
+def test_gif_partial_first_frame_raises_without_pillow_too():
+    """A first frame smaller than the logical screen must degrade via F4 in
+    decode_real_gif exactly like extract_gif_frame — otherwise the pixel sha
+    depends on whether a compositing decoder (Pillow) is installed."""
+    import struct
+
+    import pytest
+
+    data = bytearray(encode_real_gif(_quantized_pixels(7, shape=(8, 9, 3))))
+    # enlarge the logical screen so the (full-size) frame no longer covers it
+    sw, sh = struct.unpack("<HH", bytes(data[6:10]))
+    data[6:10] = struct.pack("<HH", sw + 4, sh + 2)
+    with pytest.raises(ValueError, match="not composited"):
+        decode_real_gif(bytes(data))

@@ -261,3 +261,24 @@ def test_tiff_lzw_compressed_file_decodes():
         strip,
     )
     assert np.array_equal(decode_real_tiff(data), px)
+
+
+def test_tiff_lzw_predictor_2_degrades_not_garbage():
+    """Predictor=2 (tag 317, horizontal differencing) stores deltas; decoding
+    them as raw pixels would be silently wrong pixels -> wrong sha/phash.
+    Outside scope => NotImplementedError (F4 degraded path), and an explicit
+    Predictor=1 still decodes."""
+    from dupion_spark.functions.tiff import _lzw_encode_tiff
+
+    px = _pixels(12, shape=(4, 5, 3))
+    strip = _lzw_encode_tiff(px.tobytes())
+    base = [
+        (256, 3, 1, 5), (257, 3, 1, 4), (259, 3, 1, 5),
+        (262, 3, 1, 2),
+        (273, 4, 1, 8), (277, 3, 1, 3), (278, 3, 1, 4),
+        (279, 4, 1, len(strip)),
+    ]
+    with pytest.raises(NotImplementedError, match="predictor 2"):
+        decode_real_tiff(_build_tiff("<", base + [(317, 3, 1, 2)], strip))
+    out = decode_real_tiff(_build_tiff("<", base + [(317, 3, 1, 1)], strip))
+    assert np.array_equal(out, px)
