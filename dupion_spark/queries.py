@@ -59,26 +59,27 @@ def _tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names]
 
 
-def _fan_out(docs: DataFrame) -> DataFrame:
-    """Input-skew guard (optimization guide §2.5): the documents table is ONE
-    parquet file with ONE row group at every bench SF, so the scan — and with
-    it all the per-shingle/per-token hash work that runs map-side before the
-    first exchange — lands in a single task regardless of core count
-    (row-group granularity caps effective scan parallelism; split-size knobs
-    cannot split one row group). When the planned scan has fewer partitions
-    than the session's parallelism, redistribute rows by doc_id first: the
-    exchange moves only the raw text rows (~6 MB at sf1.0) while the hashing
-    it parallelizes is orders of magnitude more work, and downstream
-    groupBy(doc_id) aggregations reuse the hash-partitioning (no second
+def _fan_out(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Input-skew guard (optimization guide §2.5): each bench table is ONE
+    parquet file with very few row groups, so the scan — and with it all the
+    per-row hash/dot-product work that runs map-side before the first
+    exchange — lands in one or two tasks regardless of core count (row-group
+    granularity caps effective scan parallelism; split-size knobs cannot
+    split one row group). When the planned scan has fewer partitions than
+    the session's parallelism, redistribute rows by the table's unique key
+    first: the exchange moves only the raw rows (a few MB) while the per-row
+    compute it parallelizes is orders of magnitude more work, and downstream
+    groupBy(key) aggregations reuse the hash-partitioning (no second
     exchange). On a production corpus laid out in many files/row groups the
-    scan already yields enough splits and this is a no-op. Only applied to
-    queries whose aggregates are exact under re-partitioning (integer
-    min/sum/count — never float sums)."""
-    spark = docs.sparkSession
+    scan already yields enough splits and this is a no-op. Only applied
+    where results are exact under re-partitioning: integer/struct
+    min/sum/count aggregates and purely per-row expressions — never
+    cross-row float accumulation."""
+    spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        return docs.repartition(target, "doc_id")
-    return docs
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key)
+    return df
 
 
 def _h60(col):
@@ -253,18 +254,25 @@ FROM lineitem GROUP BY l_partkey, l_suppkey HAVING count(*) > 1
 def q_o6_senpai_election(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O6 senpai election (dedup/mod.rs:60-79): per customer, elect the argmin
     order by (o_totalprice ASC, o_orderdate ASC, o_orderkey ASC) — the same
-    multi-key argmin-with-tiebreaks window as dupion's representative pick."""
+    multi-key argmin-with-tiebreaks window as dupion's representative pick.
+
+    r6 (guide §2.3, aggregate before you shuffle): the row_number window
+    shuffled and SORTED the full order table per customer partition just to
+    keep row 1; min over the lexicographic (price, date, orderkey) struct is
+    the identical argmin (orderkey is unique — no ties) but partial
+    aggregation collapses each map task to one row per customer before the
+    exchange, so the shuffle carries customers, not orders, and the sort
+    disappears. Struct comparison is exact field-wise ordering — no float
+    arithmetic, so the result is partition-order independent."""
     (orders,) = _tables(spark, sf_dir, "orders")
-    win = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").asc(), F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
-    )
+    best = F.min(F.struct("o_totalprice", "o_orderdate", "o_orderkey")).alias("b")
     return (
-        orders.withColumn("rn", F.row_number().over(win))
-        .filter(F.col("rn") == 1)
+        orders.groupBy("o_custkey")
+        .agg(best)
         .select(
             "o_custkey",
-            F.col("o_orderkey").alias("senpai_order"),
-            F.round("o_totalprice", 2).alias("senpai_price"),
+            F.col("b.o_orderkey").alias("senpai_order"),
+            F.round("b.o_totalprice", 2).alias("senpai_price"),
         )
     )
 
@@ -978,7 +986,9 @@ def q_stream_dedup_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dupion_spark.streaming.dedup_stream import windowed_first_events
 
     (events,) = _tables(spark, sf_dir, "events")
-    return windowed_first_events(events)
+    # _fan_out: min(struct(ts, event_id)) is exact under re-partitioning; the
+    # 1M-row single-row-group scan otherwise runs its map side in one task
+    return windowed_first_events(_fan_out(events, "event_id"))
 
 
 SQL_STREAM_DEDUP = """
@@ -1286,9 +1296,14 @@ def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: for each of the first EMB_N_QUERIES vectors,
     the EMB_TOPK nearest neighbors. The query side is broadcast (tiny dim
     table x full scan — the canonical ANN baseline shape); dot products run
-    JVM-side via zip_with + aggregate (left fold, deterministic order)."""
+    JVM-side via zip_with + aggregate (left fold, deterministic order).
+
+    r6: _fan_out on the corpus scan — the interpreted per-element dot folds
+    (8 queries x 64 dims per corpus row) are the cost, and the single-row-
+    group file otherwise pins them to one task. Each dot is a per-row left
+    fold with a fixed order, so re-partitioning cannot change any value."""
     (emb,) = _tables(spark, sf_dir, "embeddings")
-    vecs = emb.select(
+    vecs = _fan_out(emb, "vec_id").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
@@ -1378,10 +1393,14 @@ def q_emb_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate join is an equi-join on the bucket id (the shuffle key), NOT an
     all-pairs cross — corpus-side work is proportional to probed-bucket
     occupancy. Brute-force cosine (q_emb_cosine_topk) is the small-scale
-    baseline this replaces."""
+    baseline this replaces.
+
+    r6: _fan_out on the corpus scan — the 8-plane bucket assignment is an
+    interpreted 64-dim fold per plane per row and otherwise runs in one
+    task (single-row-group file); per-row folds are partition-independent."""
     (emb,) = _tables(spark, sf_dir, "embeddings")
     planes = _emb_hyperplanes()
-    vecs = emb.select(
+    vecs = _fan_out(emb, "vec_id").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
