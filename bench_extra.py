@@ -147,6 +147,22 @@ def dump_plans(spark, sf_dir: str, names: list[str], suffix: str) -> None:
         print(f"wrote {path}", flush=True)
 
 
+def dump_media_plans(spark, sf_dir: str, suffix: str) -> None:
+    from dupion_spark import media_queries as MQ
+
+    os.makedirs(os.path.join(REPO, "plans", "r06"), exist_ok=True)
+    MQ.ensure_oracle_fixture(os.path.basename(sf_dir.rstrip("/")))
+    for name, fn in MQ.media_queries().items():
+        df = fn(spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        path = os.path.join(REPO, "plans", "r06", f"{name}_{suffix}.txt")
+        with open(path, "w") as fh:
+            fh.write(plan)
+        print(f"wrote {path}", flush=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf1.0")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -158,6 +174,8 @@ def main() -> None:
     if mode == "text":
         out = text_profile(spark, sf_dir)
         print(json.dumps({"profile": "text", "sf_dir": sf_dir, **out}))
+    elif mode == "mediaplans":
+        dump_media_plans(spark, sf_dir, sys.argv[2] if len(sys.argv) > 2 else "after")
     elif mode == "plans":
         names = sys.argv[2].split(",") if len(sys.argv) > 2 else [
             "text_fingerprint", "dedup_minhash_pairs", "ngram_jaccard"

@@ -57,6 +57,29 @@ def ensure_oracle_fixture(scale: str | None = None) -> None:
     _fixture_dir(scale)
 
 
+def _media_counts(sf_dir: str) -> tuple[int, int, int]:
+    scale = os.path.basename(sf_dir.rstrip("/")) or "sf0.001"
+    return SCALE_MEDIA.get(scale, SCALE_MEDIA["sf0.001"])
+
+
+def _media_fan_out(df: DataFrame, key: str, n_rows: int) -> DataFrame:
+    """Row-count-aware input-skew guard for the single-row-group media
+    fixtures (optimization guide §2.5): the whole per-row Python decode
+    (mapInPandas) otherwise runs in ONE task. Unlike the text/event tables,
+    media fixtures can be tiny (tens of rows at the fallback scale), where a
+    32-way exchange plus 32 python-worker tasks costs more than the serial
+    decode it replaces — measured +2.3 s across the sf0.01 composite. So the
+    partition target scales with the known fixture row count (>=16 rows per
+    decode task) and the guard is a no-op when that target is 1 or the scan
+    already has enough partitions. Per-row decode output is partition-
+    independent (operators/media pins the nullable-int dtype coercion)."""
+    spark = df.sparkSession
+    target = min(spark.sparkContext.defaultParallelism, max(1, n_rows // 16))
+    if target > 1 and df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -64,7 +87,13 @@ def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio decode -> duration/rate/channels/rms/zcr + 64-bit spectral
     fingerprint; corrupt rows degrade to NULL features (F4)."""
     fdir = _fixture_dir(sf_dir)
-    audio = spark.read.parquet(os.path.join(fdir, "audio.parquet"))
+    # _fan_out (guide §2.5): the single-row-group fixture file otherwise pins
+    # the whole per-row Python decode (mapInPandas) to ONE task; per-row
+    # decode output is partition-independent
+    n_audio, _, _ = _media_counts(sf_dir)
+    audio = _media_fan_out(
+        spark.read.parquet(os.path.join(fdir, "audio.parquet")), "audio_id", n_audio
+    )
     return media_ops.audio_features(audio)
 
 
@@ -72,7 +101,10 @@ def q_media_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video -> sampled-frame signature rows (every FRAME_STRIDE-th frame
     decoded; unsampled frames skipped at the container level)."""
     fdir = _fixture_dir(sf_dir)
-    video = spark.read.parquet(os.path.join(fdir, "video.parquet"))
+    _, n_video, _ = _media_counts(sf_dir)
+    video = _media_fan_out(
+        spark.read.parquet(os.path.join(fdir, "video.parquet")), "video_id", n_video
+    )
     return media_ops.sample_frames(video, DedupConfig(), stride=FRAME_STRIDE)
 
 
@@ -80,7 +112,10 @@ def q_media_video_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-dup candidates: frame-phash groupBy over ALL frames
     (stride=1), >= PAIR_MIN_SHARED shared distinct hashes per pair."""
     fdir = _fixture_dir(sf_dir)
-    video = spark.read.parquet(os.path.join(fdir, "video.parquet"))
+    _, n_video, _ = _media_counts(sf_dir)
+    video = _media_fan_out(
+        spark.read.parquet(os.path.join(fdir, "video.parquet")), "video_id", n_video
+    )
     frames = media_ops.sample_frames(video, DedupConfig(), stride=1)
     return media_ops.video_pair_candidates(
         frames,
@@ -93,7 +128,11 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode -> 16x16 nearest-neighbor resize -> png re-encode; compare the
     re-encoded payload by sha256 (undecodable rows are dropped)."""
     fdir = _fixture_dir(sf_dir)
-    images = spark.read.parquet(os.path.join(fdir, "media_images.parquet"))
+    _, _, n_images = _media_counts(sf_dir)
+    images = _media_fan_out(
+        spark.read.parquet(os.path.join(fdir, "media_images.parquet")), "image_id",
+        n_images,
+    )
     out_h, out_w = RESIZE_HW
     resized = media_ops.resize_images(images, out_h, out_w, fmt="png")
     return resized.select(
@@ -111,7 +150,11 @@ def q_media_codec_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dupion_spark.functions.spark_udfs import make_pixel_sha256_udf
 
     fdir = _fixture_dir(sf_dir)
-    images = spark.read.parquet(os.path.join(fdir, "codec_images.parquet"))
+    _, _, n_images = _media_counts(sf_dir)
+    images = _media_fan_out(
+        spark.read.parquet(os.path.join(fdir, "codec_images.parquet")), "image_id",
+        n_images // 2,
+    )
     sha = make_pixel_sha256_udf()
     return images.select(
         "image_id", "fmt",

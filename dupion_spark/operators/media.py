@@ -147,7 +147,18 @@ def sample_frames(
                     out["n_frames"].append(nf)
                     out["phash"].append(ph)
                     out["simhash"].append(sh)
-            yield pd.DataFrame(out)
+            df = pd.DataFrame(out)
+            # Pin the nullable-int dtype semantics regardless of batch
+            # composition: pandas coerces an int list CONTAINING None to
+            # float64 (None -> NaN), rounding 64-bit hashes at 2^53 — and the
+            # golden tables (sources/synth_media.py, same pd.DataFrame
+            # construction over rows that include corrupt/None entries) have
+            # exactly that rounding baked in. Without the explicit cast the
+            # coercion is data-dependent per batch, so re-partitioning the
+            # input (guide §2.5 fan-out) would change which rows round.
+            for c in ("n_frames", "phash", "simhash"):
+                df[c] = pd.Series(out[c], dtype="float64")
+            yield df
 
     return df.select(
         F.col(id_col).alias(id_col), F.col(bytes_col).alias(bytes_col)
@@ -243,7 +254,13 @@ def audio_features(
                 out["fingerprint"].append(
                     media.audio_fingerprint64(samples, rate) if n else None
                 )
-            yield pd.DataFrame(out)
+            df = pd.DataFrame(out)
+            # same dtype pin as sample_frames: nullable numeric columns
+            # coerce through float64 deterministically (see comment there)
+            for c in ("duration_s", "sample_rate", "channels", "rms", "zcr",
+                      "fingerprint"):
+                df[c] = pd.Series(out[c], dtype="float64")
+            yield df
 
     return df.select(
         F.col(id_col).alias(id_col), F.col(bytes_col).alias(bytes_col)

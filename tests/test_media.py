@@ -295,3 +295,15 @@ def test_real_wav_8_24_32_bit_normalize_to_int16():
     v32 = (base16.astype(np.int32) << 16).astype("<i4")
     s32, _ = decode_audio(wav(v32.tobytes(), 4))
     assert np.array_equal(s32, base16)
+
+
+def test_sample_frames_values_partition_invariant(spark, video_df, cfg):
+    """The nullable int64 columns (n_frames/phash/simhash) coerce through
+    float64 deterministically (operators/media dtype pin): re-partitioning
+    the input — e.g. the _fan_out input-skew guard — must not change a single
+    output value, even though pandas would otherwise round 64-bit hashes only
+    in batches that happen to contain a corrupt row."""
+    one = media_ops.sample_frames(video_df.coalesce(1), cfg, stride=10)
+    many = media_ops.sample_frames(video_df.repartition(8, "video_id"), cfg, stride=10)
+    assert one.exceptAll(many).count() == 0
+    assert many.exceptAll(one).count() == 0
