@@ -59,7 +59,7 @@ def _tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names]
 
 
-def _fan_out(df: DataFrame, key: str = "doc_id") -> DataFrame:
+def _fan_out(df: DataFrame, *keys: str) -> DataFrame:
     """Input-skew guard (optimization guide §2.5): each bench table is ONE
     parquet file with very few row groups, so the scan — and with it all the
     per-row hash/dot-product work that runs map-side before the first
@@ -74,11 +74,18 @@ def _fan_out(df: DataFrame, key: str = "doc_id") -> DataFrame:
     scan already yields enough splits and this is a no-op. Only applied
     where results are exact under re-partitioning: integer/struct
     min/sum/count aggregates and purely per-row expressions — never
-    cross-row float accumulation."""
+    cross-row float accumulation.
+
+    When the key tuple IS the downstream groupBy key, the repartition also
+    replaces the partial+final aggregation with a single complete aggregate
+    (the exchange carries raw skinny rows instead of partially-combined
+    ones — the right trade when keys are near-unique and the partial agg
+    barely collapses, and a no-op where the scan is already parallel)."""
+    keys = keys or ("doc_id",)
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, key)
+        return df.repartition(target, *keys)
     return df
 
 
@@ -236,10 +243,19 @@ GROUP BY r.r_name
 # ===========================================================================
 def q_a6_runlength(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 phys-occurrence run-length (dedup/mod.rs:124-149): occurrences of
-    identical (partkey, suppkey) within lineitem."""
+    identical (partkey, suppkey) within lineitem.
+
+    r6: project the two key columns early and _fan_out on the group key —
+    the 6-row-group lineitem file caps the scan (and the partial hash-agg
+    over 6M near-unique keys, which collapses only ~4x) at 6 tasks; the
+    repartition runs the single complete aggregate on every core instead
+    (1.15 -> 0.83 s at sf1.0; counts are exact under re-partitioning)."""
     (lineitem,) = _tables(spark, sf_dir, "lineitem")
     return (
-        lineitem.groupBy("l_partkey", "l_suppkey")
+        _fan_out(
+            lineitem.select("l_partkey", "l_suppkey"), "l_partkey", "l_suppkey"
+        )
+        .groupBy("l_partkey", "l_suppkey")
         .agg(F.count(F.lit(1)).alias("occurrences"))
         .filter(F.col("occurrences") > 1)
     )
@@ -986,9 +1002,13 @@ def q_stream_dedup_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dupion_spark.streaming.dedup_stream import windowed_first_events
 
     (events,) = _tables(spark, sf_dir, "events")
-    # _fan_out: min(struct(ts, event_id)) is exact under re-partitioning; the
-    # 1M-row single-row-group scan otherwise runs its map side in one task
-    return windowed_first_events(_fan_out(events, "event_id"))
+    # _fan_out on the GROUP-KEY PREFIX (user_id, event_type): min(struct) is
+    # exact under re-partitioning, the 1M-row single-row-group scan otherwise
+    # runs its map side in one task, and hash-partitioning on a prefix of the
+    # aggregation key already clusters the groups — the aggregate runs
+    # complete with no second exchange (1.32 s keyed by event_id, 0.97 s
+    # keyed by the group prefix at sf1.0)
+    return windowed_first_events(_fan_out(events, "user_id", "event_type"))
 
 
 SQL_STREAM_DEDUP = """
@@ -1158,31 +1178,38 @@ def q_p2_tree_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     'DUPS|UNIQ <icon> <name> <size>' (tree.rs:76,85); DUPS children expand to
     the first 4 group members (tree.rs:103-105, the O4 preview). Emitted as a
     deterministic string per parent so both engines compare byte-identical
-    serializations."""
+    serializations.
+
+    r6: the per-hash stats (dup count AND the <=4-member O4 preview) come
+    from ONE groupBy over the hashed rows instead of _tree_children's
+    count-groupBy + a second preview-groupBy, halving the exchanges and
+    joins on the hash key; the emitted values are identical (both aggregates
+    see the same per-h row multiset)."""
     (docs,) = _tables(spark, sf_dir, "documents")
-    ch = _tree_children(docs)
-    # <=4-member preview per duplicate group, sorted ids (O4)
-    previews = (
-        ch.groupBy("h")
-        .agg(
-            F.array_join(
-                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 4), ";"
-            ).alias("preview")
-        )
+    key = F.md5(F.substring("text", 1, 16))
+    hashed = docs.select("doc_id", "source", "n_chars", key.alias("h"))
+    stats = hashed.groupBy("h").agg(
+        F.count(F.lit(1)).alias("dups"),
+        # <=4-member preview per duplicate group, sorted ids (O4)
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 4), ";"
+        ).alias("preview"),
     )
-    labeled = ch.join(previews, "h").select(
+    labeled = hashed.join(stats, "h").select(
         "source",
         "doc_id",
         "n_chars",
-        "dups_clamped",
+        F.least(F.greatest(F.col("dups"), F.lit(1)), F.lit(2)).alias("dups_clamped"),
         F.concat(
-            F.when(F.col("is_dup"), F.lit("DUPS")).otherwise(F.lit("UNIQ")),
+            F.when(F.col("dups") > 1, F.lit("DUPS")).otherwise(F.lit("UNIQ")),
             F.lit(" F "),
             F.col("doc_id").cast("string"),
             F.lit(" "),
             F.col("n_chars").cast("string"),
-            F.when(F.col("is_dup"), F.concat(F.lit(" ["), F.col("preview"), F.lit("]")))
-            .otherwise(F.lit("")),
+            F.when(
+                F.col("dups") > 1,
+                F.concat(F.lit(" ["), F.col("preview"), F.lit("]")),
+            ).otherwise(F.lit("")),
         ).alias("label"),
     )
     win = Window.partitionBy("source").orderBy(
