@@ -1431,9 +1431,14 @@ def q_emb_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    # no checkpoint despite two references (r6): the query-side reference
+    # filters vec_id < EMB_N_QUERIES, which pushes down to the scan, so its
+    # "recompute" assigns buckets for 8 rows — materializing the full corpus
+    # assignment to avoid that cost more than it saved (1.83 s -> 1.18 s at
+    # sf1.0). The corpus-side reference is a single pass either way.
     assigned = vecs.select(
         "vec_id", "v", norm.alias("norm"), _emb_bucket_col(planes).alias("bucket")
-    ).localCheckpoint(eager=False)  # referenced by both join sides below
+    )
 
     q = assigned.filter(F.col("vec_id") < EMB_N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
