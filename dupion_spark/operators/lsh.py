@@ -370,33 +370,6 @@ def candidate_pairs(
         hot = _hot_agg(bands, cap).localCheckpoint(eager=False)
     # hot consumers: small-path anti-join + big-path inner join
 
-    # the all-pairs self-join joins the SAME materialized plan to itself
-    # (aliases, not two differently-projected copies), so both join sides
-    # read the one cached band RDD. SHUFFLE_HASH is pinned: AQE otherwise
-    # saw a small compressed shuffle size and BROADCAST the 26M-row band
-    # table — a single-threaded ~800MB driver build that cost more than the
-    # whole join (measured 45s vs 18s at 8 cores) and grows with input, the
-    # exact shape of parallelism-independent wall the scaling gate punishes.
-    # At real corpus scale a broadcast here is impossible anyway; per-
-    # partition hash builds stay bounded by the shuffle partition count.
-    small = bands.join(hot.select("band_key"), "band_key", "left_anti")
-    sl, sr = small.alias("l"), small.alias("r")
-    small_pairs = (
-        sl.hint("SHUFFLE_HASH").join(sr, F.col("l.band_key") == F.col("r.band_key"))
-        .filter(F.col("l.rep_id") < F.col("r.rep_id"))
-        .filter(_hamming_ok(F.col("l.phash"), F.col("l.simhash"),
-                            F.col("r.phash"), F.col("r.simhash"), cfg,
-                            ph_limit=ph_limit))
-        .select(
-            F.col("l.rep_id").alias("id_l"),
-            F.col("r.rep_id").alias("id_r"),
-            F.when(
-                F.col("l.band_key").bitwiseAND(F.lit(CAPTION_BIT)) != 0,
-                F.lit("minhash"),
-            ).otherwise(F.lit("pixel")).alias("band_src"),
-        )
-    )
-
     # ADAPTIVE BRANCH ELISION on the materialized hot statistic: which of the
     # three over-cap classes actually occur this run. `hot` is tiny (hot keys
     # only) and already checkpointed, so this is one sub-second driver-side
@@ -414,6 +387,43 @@ def candidate_pairs(
         F.count(F.when((~is_caption) & hot_is_simhash, 1)).alias("n_sim"),
         F.count(F.when((~is_caption) & ~hot_is_simhash, 1)).alias("n_pix"),
     ).collect()[0]
+    any_hot = (
+        hot_classes["n_capt"] or hot_classes["n_sim"] or hot_classes["n_pix"]
+    )
+
+    # the all-pairs self-join joins the SAME materialized plan to itself
+    # (aliases, not two differently-projected copies), so both join sides
+    # read the one cached band RDD. SHUFFLE_HASH is pinned: AQE otherwise
+    # saw a small compressed shuffle size and BROADCAST the 26M-row band
+    # table — a single-threaded ~800MB driver build that cost more than the
+    # whole join (measured 45s vs 18s at 8 cores) and grows with input, the
+    # exact shape of parallelism-independent wall the scaling gate punishes.
+    # At real corpus scale a broadcast here is impossible anyway; per-
+    # partition hash builds stay bounded by the shuffle partition count.
+    # r6: the hot anti-join is itself elided when the hot statistic says NO
+    # over-cap bucket exists this run — an anti-join against an empty set is
+    # the identity, so output is unchanged and the zero-hot case (every
+    # bench SF) skips a full pass + broadcast over the band table.
+    small = (
+        bands if not any_hot
+        else bands.join(hot.select("band_key"), "band_key", "left_anti")
+    )
+    sl, sr = small.alias("l"), small.alias("r")
+    small_pairs = (
+        sl.hint("SHUFFLE_HASH").join(sr, F.col("l.band_key") == F.col("r.band_key"))
+        .filter(F.col("l.rep_id") < F.col("r.rep_id"))
+        .filter(_hamming_ok(F.col("l.phash"), F.col("l.simhash"),
+                            F.col("r.phash"), F.col("r.simhash"), cfg,
+                            ph_limit=ph_limit))
+        .select(
+            F.col("l.rep_id").alias("id_l"),
+            F.col("r.rep_id").alias("id_r"),
+            F.when(
+                F.col("l.band_key").bitwiseAND(F.lit(CAPTION_BIT)) != 0,
+                F.lit("minhash"),
+            ).otherwise(F.lit("pixel")).alias("band_src"),
+        )
+    )
 
     big = bands.join(hot, "band_key")
 
